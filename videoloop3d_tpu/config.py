@@ -1,0 +1,212 @@
+"""Configuration system: argparse + two-level text config files.
+
+Drop-in compatible with the reference's configargparse setup
+(reference config_parser.py:4-214): a base config (``--config``) overridden
+by a per-scene config (``--config1``), both in ``key = value`` / bare-flag
+text format, and *unique-prefix key matching* (the shipped configs say
+``i_weight`` for the ``--i_weights`` flag, which configargparse resolves by
+prefix).  Command-line flags override both files.
+
+The full flag surface of the reference is reproduced so its shipped config
+files parse unchanged.
+"""
+from __future__ import annotations
+
+import argparse
+import shlex
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(add_help=True)
+    # config files (handled manually in parse_args_with_configs)
+    p.add_argument("--config", type=str, default="", help="base config file")
+    p.add_argument("--config1", type=str, default="", help="per-scene config file")
+
+    p.add_argument("--expname", type=str, default="exp")
+    p.add_argument("--expname_postfix", type=str, default="")
+    p.add_argument("--test_view_idx", type=str, default="")
+
+    p.add_argument("--prefix", type=str, default="")
+    p.add_argument("--datadir", type=str, default="")
+    p.add_argument("--expdir", type=str, default="")
+    p.add_argument("--seed", type=int, default=666)
+    p.add_argument("--factor", type=int, default=2)
+    p.add_argument("--near_factor", type=float, default=0.9)
+    p.add_argument("--far_factor", type=float, default=2)
+    p.add_argument("--chunk", type=int, default=1024 * 32)
+    p.add_argument("--fp16", action="store_true",
+                   help="train atlases in bfloat16 (working replacement for "
+                        "the reference's broken fp16 flag)")
+    p.add_argument("--bg_color", type=str, default="")
+    p.add_argument("--scale_invariant", action="store_true")
+
+    # MPV (stage 2)
+    p.add_argument("--mpv_frm_num", type=int, default=90)
+    p.add_argument("--mpv_isloop", action="store_true")
+    p.add_argument("--init_from", type=str, default="")
+    p.add_argument("--init_std", type=float, default=0)
+    p.add_argument("--add_uv_noise", action="store_true")
+    p.add_argument("--add_intrin_noise", action="store_true")
+
+    # looping-loss config
+    p.add_argument("--loss_ref_idx", type=str, default="0")
+    p.add_argument("--loss_name", type=str, default="gpnn")
+    p.add_argument("--loss_name_ref", type=str, default="gpnn")
+    p.add_argument("--swd_macro_block", type=int, default=65)
+    p.add_argument("--swd_patch_size_ref", type=int, default=5)
+    p.add_argument("--swd_patch_size", type=int, default=5)
+    p.add_argument("--swd_patcht_size_ref", type=int, default=5)
+    p.add_argument("--swd_patcht_size", type=int, default=5)
+    p.add_argument("--swd_stride_ref", type=int, default=2)
+    p.add_argument("--swd_stride", type=int, default=2)
+    p.add_argument("--swd_stridet", type=int, default=2)
+    p.add_argument("--swd_stridet_ref", type=int, default=2)
+    p.add_argument("--swd_rou", type=str, default="0")
+    p.add_argument("--swd_rou_ref", type=str, default="0")
+    p.add_argument("--swd_scaling", type=float, default=0.2)
+    p.add_argument("--swd_scaling_ref", type=float, default=0.2)
+    p.add_argument("--swd_alpha", type=float, default=0)
+    p.add_argument("--swd_alpha_ref", type=float, default=0)
+    p.add_argument("--swd_dist_fn", type=str, default="mse")
+    p.add_argument("--swd_dist_fn_ref", type=str, default="mse")
+    p.add_argument("--swd_factor", type=int, default=1)
+    p.add_argument("--swd_factor_ref", type=int, default=1)
+    p.add_argument("--swd_loss_gain_ref", type=float, default=1)
+    p.add_argument("--swd_num_proj", type=int, default=256,
+                   help="random projections for the SWD loss variant")
+
+    # pyramid
+    p.add_argument("--pyr_stage", type=str, default="")
+    p.add_argument("--pyr_minimal_dim", type=int, default=60)
+    p.add_argument("--pyr_num_epoch", type=int, default=600)
+    p.add_argument("--pyr_factor", type=float, default=0.5)
+    p.add_argument("--pyr_init_level", type=int, default=-1)
+
+    # MPI
+    p.add_argument("--sparsify_epoch", type=int, default=-1)
+    p.add_argument("--sparsify_rmfirstlayer", type=int, default=0)
+    p.add_argument("--sparsify_erode", type=int, default=2)
+    p.add_argument("--learn_loop_mask", action="store_true")
+    p.add_argument("--direct2sh_epoch", type=int, default=-1)
+    p.add_argument("--sparsify_alpha_thresh", type=float, default=0.03)
+    p.add_argument("--vid2img_mode", type=str, default="average")
+    p.add_argument("--mpi_h_scale", type=float, default=1)
+    p.add_argument("--mpi_w_scale", type=float, default=1)
+    p.add_argument("--mpi_h_verts", type=int, default=12)
+    p.add_argument("--mpi_w_verts", type=int, default=15)
+    p.add_argument("--mpi_d", type=int, default=64)
+    p.add_argument("--atlas_grid_h", type=int, default=8)
+    p.add_argument("--atlas_size_scale", type=float, default=1)
+    p.add_argument("--atlas_cnl", type=int, default=4)
+    p.add_argument("--model_type", type=str, default="MPMesh")
+    p.add_argument("--rgb_mlp_type", type=str, default="direct")
+    p.add_argument("--rgb_activate", type=str, default="sigmoid")
+    p.add_argument("--alpha_activate", type=str, default="sigmoid")
+    p.add_argument("--optimize_geo_start", type=int, default=10000000)
+    p.add_argument("--optimize_verts_gain", type=float, default=1)
+    p.add_argument("--normalize_verts", action="store_true")
+
+    # training losses
+    p.add_argument("--upsample_stage", type=str, default="")
+    p.add_argument("--rgb_smooth_loss_weight", type=float, default=0)
+    p.add_argument("--a_smooth_loss_weight", type=float, default=0)
+    p.add_argument("--d_smooth_loss_weight", type=float, default=0)
+    p.add_argument("--l_smooth_loss_weight", type=float, default=0)
+    p.add_argument("--edge_scale", type=float, default=4)
+    p.add_argument("--normalize_blendweight_fordepth", action="store_true")
+    p.add_argument("--density_loss_weight", type=float, default=0)
+    p.add_argument("--density_loss_epoch", type=int, default=0)
+    p.add_argument("--sparsity_loss_weight", type=float, default=0)
+
+    # training options
+    p.add_argument("--N_iters", type=int, default=30)
+    p.add_argument("--optimizer", type=str, default="adam", choices=["adam", "sgd"])
+    p.add_argument("--patch_h_size", type=int, default=512)
+    p.add_argument("--patch_w_size", type=int, default=512)
+    p.add_argument("--patch_h_stride", type=int, default=128)
+    p.add_argument("--patch_w_stride", type=int, default=128)
+    p.add_argument("--lrate", type=float, default=5e-4)
+    p.add_argument("--lrate_adaptive", action="store_true")
+    p.add_argument("--lrate_decay", type=int, default=30)
+
+    # logging
+    p.add_argument("--i_img", type=int, default=300)
+    p.add_argument("--i_print", type=int, default=300)
+    p.add_argument("--i_weights", type=int, default=20000)
+    p.add_argument("--i_video", type=int, default=10000)
+
+    # parallelism (TPU-native: size of the data-parallel device mesh)
+    p.add_argument("--gpu_num", type=int, default=-1,
+                   help="kept for config compatibility; <=0 selects CPU")
+    p.add_argument("--mesh_devices", type=int, default=0,
+                   help="devices in the jax mesh (0 = all available)")
+    return p
+
+
+def _option_names(parser):
+    names = []
+    for action in parser._actions:
+        for opt in action.option_strings:
+            if opt.startswith("--"):
+                names.append((opt[2:], action))
+    return names
+
+
+def _resolve_key(key, names):
+    """Unique-prefix matching, like configargparse/argparse allow_abbrev."""
+    exact = [(n, a) for n, a in names if n == key]
+    if exact:
+        return exact[0]
+    pref = [(n, a) for n, a in names if n.startswith(key)]
+    if len(pref) == 1:
+        return pref[0]
+    if not pref:
+        raise KeyError(f"unknown config key '{key}'")
+    raise KeyError(f"ambiguous config key '{key}': {[n for n, _ in pref]}")
+
+
+def read_config_file(path, parser):
+    """Parse a ``key = value`` / bare-flag config file into an argv list."""
+    names = _option_names(parser)
+    argv = []
+    with open(path) as f:
+        for line in f:
+            line = line.split("#", 1)[0].strip()
+            if not line:
+                continue
+            if "=" in line:
+                key, val = line.split("=", 1)
+                key, val = key.strip(), val.strip()
+            else:
+                key, val = line.strip(), None
+            name, action = _resolve_key(key, names)
+            if isinstance(action, argparse._StoreTrueAction):
+                if val is None or str(val).lower() in ("true", "1", "yes"):
+                    argv.append(f"--{name}")
+            else:
+                if val is None:
+                    raise ValueError(f"config key '{key}' needs a value")
+                argv.extend([f"--{name}", val])
+    return argv
+
+
+def parse_args_with_configs(argv=None, parser=None):
+    """Full two-level parse: base config < scene config < command line."""
+    parser = parser or build_parser()
+    pre, _ = parser.parse_known_args(argv)
+    file_argv = []
+    for path in (pre.config, pre.config1):
+        if path:
+            file_argv.extend(read_config_file(path, parser))
+    if argv is None:
+        import sys
+        argv = sys.argv[1:]
+    return parser.parse_args(file_argv + list(argv))
+
+
+def args_to_string(args):
+    return "\n".join(f"{k} = {getattr(args, k)}" for k in sorted(vars(args)))
+
+
+def parse_cli_string(s):
+    return shlex.split(s)

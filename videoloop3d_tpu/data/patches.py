@@ -1,0 +1,143 @@
+"""Patch-grid datasets for stage 1 (images) and stage 2 (videos).
+
+Host-side numpy iterators producing fixed-shape batches for the jitted
+train steps.  Parity: reference train_3d.py:20-95 (MVPatchDataset) and
+train_3dvid.py:22-66 (MVVidPatchDataset), utils.py:115-134
+(generate_patchinfo).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from videoloop3d_tpu.core import cameras
+from videoloop3d_tpu.data import video as video_io
+from videoloop3d_tpu.data.loopmask import compute_loopable_mask
+
+
+def patch_grid(H, W, patch_size, patch_stride):
+    """Patch origins covering (H, W); images are padded on bottom/right so
+    every origin yields a full patch.  Returns (origins (N,2) as (w, h),
+    pad (pad_h, pad_w)).  Parity: utils.py:115-134."""
+    ph, pw = patch_size
+    sh, sw = patch_stride
+    hs = np.arange(0, H - ph + sh, sh)
+    ws = np.arange(0, W - pw + sw, sw)
+    pad_h = int(hs.max() + ph - H)
+    pad_w = int(ws.max() + pw - W)
+    assert sh > pad_h >= 0 and sw > pad_w >= 0
+    gw, gh = np.meshgrid(ws, hs)
+    origins = np.stack([gw.reshape(-1), gh.reshape(-1)], axis=-1)
+    return origins.astype(np.int64), (pad_h, pad_w)
+
+
+class PatchSampler:
+    """Common origin/view bookkeeping for both datasets."""
+
+    def __init__(self, hw, n_views, patch_size, patch_stride, poses,
+                 intrins, raw_hw):
+        self.h, self.w = hw
+        self.v = n_views
+        self.poses = np.asarray(poses, np.float32)
+        intrins = np.asarray(intrins, np.float32).copy()
+        sy = self.h / raw_hw[0]
+        sx = self.w / raw_hw[1]
+        intrins[:, 0] *= sx
+        intrins[:, 1] *= sy
+        self.intrins = intrins
+        if self.h * self.w < patch_size[0] * patch_size[1]:
+            self.patch_size = (self.h, self.w)
+            self.origins = np.zeros((1, 2), np.int64)
+            self.pad = (0, 0)
+        else:
+            self.patch_size = tuple(patch_size)
+            self.origins, self.pad = patch_grid(
+                self.h, self.w, patch_size, patch_stride)
+        n_per_view = len(self.origins)
+        self.view_index = np.repeat(np.arange(n_views), n_per_view)
+        self.flat_origins = np.tile(self.origins, (n_views, 1))
+
+    def __len__(self):
+        return len(self.flat_origins)
+
+    def item_geometry(self, item):
+        w0, h0 = self.flat_origins[item]
+        vi = int(self.view_index[item])
+        pose = self.poses[vi]
+        intrin = cameras.shift_intrinsic(self.intrins[vi], h0, w0)
+        return int(w0), int(h0), vi, pose, intrin
+
+    def iter_epoch(self, rng: np.random.Generator, shuffle=True):
+        order = np.arange(len(self))
+        if shuffle:
+            rng.shuffle(order)
+        for item in order:
+            yield self[item]          # type: ignore[index]
+
+
+class ImagePatchDataset(PatchSampler):
+    """Stage-1: videos collapsed to single images + 2D loopable masks.
+    Parity: train_3d.py:20-95."""
+
+    def __init__(self, hw, videos, patch_size, patch_stride, poses, intrins,
+                 mode="average"):
+        raw_hw = videos[0].shape[1:3]
+        super().__init__(hw, len(videos), patch_size, patch_stride, poses,
+                         intrins, raw_hw)
+        self.images = []
+        self.masks = []
+        for vid in videos:
+            vid = video_io.resize_video(vid, self.h, self.w)
+            vidf = vid.astype(np.float32) / 255.0
+            img = video_io.collapse_video(vidf, mode)
+            mask = compute_loopable_mask(vidf).astype(np.float32)
+            ph, pw = self.pad
+            img = np.pad(img, ((0, ph), (0, pw), (0, 0)))
+            mask = np.pad(mask, ((0, ph), (0, pw)))
+            self.images.append(img.astype(np.float32))
+            self.masks.append(mask)
+
+    def __getitem__(self, item):
+        w0, h0, vi, pose, intrin = self.item_geometry(item)
+        ph, pw = self.patch_size
+        img = self.images[vi][h0:h0 + ph, w0:w0 + pw]
+        mask = self.masks[vi][h0:h0 + ph, w0:w0 + pw]
+        return {
+            "wh_start": (w0, h0),
+            "view": vi,
+            "pose": pose,
+            "intrin": intrin,
+            "rgb": img,          # (ph, pw, 3)
+            "loopmask": mask,    # (ph, pw)
+        }
+
+
+class VideoPatchDataset(PatchSampler):
+    """Stage-2: full-length video crops + a per-view loss config.
+    Parity: train_3dvid.py:22-66."""
+
+    def __init__(self, hw, videos, patch_size, patch_stride, poses, intrins,
+                 loss_configs):
+        raw_hw = videos[0].shape[1:3]
+        super().__init__(hw, len(videos), patch_size, patch_stride, poses,
+                         intrins, raw_hw)
+        assert len(loss_configs) == len(videos)
+        self.loss_configs = loss_configs
+        ph, pw = self.pad
+        self.videos = []
+        for vid in videos:
+            vid = video_io.resize_video(vid, self.h, self.w)
+            vid = np.pad(vid, ((0, 0), (0, ph), (0, pw), (0, 0)))
+            self.videos.append(vid)   # keep uint8; crop converts
+
+    def __getitem__(self, item):
+        w0, h0, vi, pose, intrin = self.item_geometry(item)
+        ph, pw = self.patch_size
+        crop = self.videos[vi][:, h0:h0 + ph, w0:w0 + pw]
+        return {
+            "wh_start": (w0, h0),
+            "view": vi,
+            "pose": pose,
+            "intrin": intrin,
+            "video": crop.astype(np.float32) / 255.0,   # (F, ph, pw, 3)
+            "losscfg": self.loss_configs[vi],
+        }

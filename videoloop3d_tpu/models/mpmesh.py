@@ -1,0 +1,274 @@
+"""MPMesh — the stage-1 model: static MPI + learned 3D loop mask.
+
+State is a pytree of parameters plus hashable static config; all render /
+loss code is pure so it jits cleanly.  Two phases:
+
+* dense:  per-plane textures ``atlas (D, Ht, Wt, C)`` and loop-mask
+  textures ``atlas_mask (D, Ht, Wt, 1)``  (ref MPI.py:95-120).
+* sparse (after tile culling): packed static/dynamic tile textures with
+  per-plane int32 tile maps (ref MPI.py:289-442 `sparsify_faces`).
+
+Rendering is the homography plane sweep (see render/renderer.py) —
+mathematically identical to the reference's rasterize+UV path for
+fronto-parallel planes.  Vertex optimization (`optimize_geo`, disabled in
+every shipped reference config via optimize_geo_start=1e7) is not wired to
+the renderer; `verts` is kept as a parameter for checkpoint/export parity.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from videoloop3d_tpu.core.activations import ACTIVATIONS, ALPHA_INIT_VAL
+from videoloop3d_tpu.core import cameras, sh
+from videoloop3d_tpu.losses import regularizers as regs
+from videoloop3d_tpu.models.geometry import MPIGeometry
+from videoloop3d_tpu.render import renderer as R
+
+
+def _atlas_channels(rgb_mlp_type):
+    if rgb_mlp_type == "direct":
+        return 4
+    if rgb_mlp_type == "rgb_sh":
+        return 3 * 4 + 1          # 4 SH coeffs per color + alpha (ref MPI.py:106)
+    if rgb_mlp_type == "rgba_sh":
+        return 4 * 9              # ref MPV.py:117
+    raise ValueError(f"unknown rgb_mlp_type {rgb_mlp_type}")
+
+
+def decode_rgba(feats, rgb_mlp_type, view_dirs=None):
+    """Texel features -> raw RGBA (pre-activation).
+
+    feats: (..., C); view_dirs: (..., 3) unit vectors (required for SH
+    modes).  Parity: MPI.py feat2rgba / utils_mpi.py:50-75.
+    """
+    if rgb_mlp_type == "direct":
+        return feats[..., :4]
+    if rgb_mlp_type == "rgb_sh":
+        dim = (feats.shape[-1] - 1) // 3
+        base = sh.eval_sh_bases(dim, view_dirs)
+        coef = feats[..., :-1].reshape(feats.shape[:-1] + (3, dim))
+        rgb = jnp.sum(base[..., None, :] * coef, axis=-1)
+        return jnp.concatenate([rgb, feats[..., -1:]], axis=-1)
+    if rgb_mlp_type == "rgba_sh":
+        dim = 9
+        base = sh.eval_sh_bases(dim, view_dirs)
+        coef = feats.reshape(feats.shape[:-1] + (4, dim))
+        return jnp.sum(base[..., None, :] * coef, axis=-1)
+    raise ValueError(rgb_mlp_type)
+
+
+@dataclasses.dataclass(frozen=True)
+class MPMeshConfig:
+    rgb_mlp_type: str = "direct"
+    rgb_activate: str = "sigmoid"
+    alpha_activate: str = "sigmoid"
+    learn_loop_mask: bool = False
+    add_uv_noise: bool = False
+    bg_color: str = ""
+    edge_scale: float = 4.0
+    normalize_blendweight_fordepth: bool = False
+    sparsity_eps: float = 1e-6
+    # extra-loss switches: losses are computed iff weight > 0 at call time;
+    # weights themselves live in the training loop (reflection over
+    # <name>_loss_weight flags, ref train_3d.py:224-228).
+    sparsity_on: bool = True
+    rgb_smooth_on: bool = True
+    a_smooth_on: bool = True
+    d_smooth_on: bool = True
+    l_smooth_on: bool = True
+    density_on: bool = True
+
+    @staticmethod
+    def from_args(args):
+        return MPMeshConfig(
+            rgb_mlp_type=args.rgb_mlp_type,
+            rgb_activate=args.rgb_activate,
+            alpha_activate=args.alpha_activate,
+            learn_loop_mask=bool(args.learn_loop_mask),
+            add_uv_noise=bool(args.add_uv_noise),
+            bg_color=args.bg_color,
+            edge_scale=float(args.edge_scale),
+            normalize_blendweight_fordepth=bool(
+                args.normalize_blendweight_fordepth),
+            sparsity_on=args.sparsity_loss_weight > 0,
+            rgb_smooth_on=args.rgb_smooth_loss_weight > 0,
+            a_smooth_on=args.a_smooth_loss_weight > 0,
+            d_smooth_on=args.d_smooth_loss_weight > 0,
+            l_smooth_on=args.l_smooth_loss_weight > 0,
+            density_on=args.density_loss_weight > 0,
+        )
+
+
+def parse_bg_color(bg_color: str, rng=None):
+    """'' -> None; 'random' -> uniform color; 'r#g#b' -> fixed color."""
+    if not bg_color:
+        return None
+    if bg_color == "random":
+        assert rng is not None
+        return jax.random.uniform(rng, (3,))
+    r, g, b = map(float, bg_color.split("#"))
+    return jnp.array([r, g, b], jnp.float32)
+
+
+class MPMesh:
+    """Stage-1 model container (static config + param initialisation +
+    pure functional render/forward)."""
+
+    def __init__(self, args, H, W, ref_extrin, ref_intrin, near, far):
+        self.geom = MPIGeometry.create(args, H, W, ref_extrin, ref_intrin,
+                                       near, far)
+        self.cfg = MPMeshConfig.from_args(args)
+        self.H, self.W = H, W
+        self.is_sparse = False
+        self.has_dyn = False
+        self.tile_map_static: Optional[np.ndarray] = None
+        self.tile_map_dyn: Optional[np.ndarray] = None
+        self.tile_hw: Optional[tuple] = None
+
+    @classmethod
+    def from_geometry(cls, geom: MPIGeometry, cfg: MPMeshConfig, H, W):
+        obj = cls.__new__(cls)
+        obj.geom = geom
+        obj.cfg = cfg
+        obj.H, obj.W = H, W
+        obj.is_sparse = False
+        obj.has_dyn = False
+        obj.tile_map_static = None
+        obj.tile_map_dyn = None
+        obj.tile_hw = None
+        return obj
+
+    # ------------------------------------------------------------------
+    def init_params(self, seed=0):
+        """Random init mirroring ref MPI.py:100-117."""
+        g = self.geom
+        rng = np.random.default_rng(seed)
+        C = _atlas_channels(self.cfg.rgb_mlp_type)
+        atlas = rng.random((g.n_planes, g.mpi_h, g.mpi_w, C),
+                           dtype=np.float32)
+        atlas[..., -1] = ALPHA_INIT_VAL
+        params = {
+            "atlas": jnp.asarray(atlas),
+            "verts": jnp.asarray(g.vertex_grid()),
+        }
+        if self.cfg.learn_loop_mask:
+            params["atlas_mask"] = jnp.full(
+                (g.n_planes, g.mpi_h, g.mpi_w, 1), ALPHA_INIT_VAL,
+                jnp.float32)
+        return params
+
+    # ------------------------------------------------------------------
+    def _decode(self, feats, coords, intrins, extrins):
+        """Apply texel decode + activations + validity masking.
+        feats: (B, D, H, W, C) raw; returns rgb, alpha (activated&masked)."""
+        cfg = self.cfg
+        view_dirs = None
+        if cfg.rgb_mlp_type != "direct":
+            B, _, H, W = coords.x.shape
+            poses = cameras.pose_to_extrinsic(extrins)
+            dirs = []
+            for b in range(B):  # B is tiny & static
+                _, d = cameras.get_rays(H, W, intrins[b], poses[b])
+                dirs.append(d)
+            dirs = jnp.stack(dirs)
+            dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+            view_dirs = dirs[:, None]                     # broadcast planes
+        rgba = decode_rgba(feats, cfg.rgb_mlp_type, view_dirs)
+        rgb = ACTIVATIONS[cfg.rgb_activate](rgba[..., :-1])
+        alpha = ACTIVATIONS[cfg.alpha_activate](rgba[..., -1])
+        alpha = jnp.where(coords.valid, alpha, 0.0)
+        rgb = rgb * coords.valid[..., None]
+        return rgb, alpha
+
+    def render(self, params, h, w, extrins, intrins, training=False,
+               rng=None):
+        """Render (relative-extrinsic) views.  Parity: MPI.py:452-594.
+
+        Returns (rgbl, variables): rgbl (B, h, w, 3[+1 loop label]);
+        variables carries per-plane stacks for the regularizers.
+        """
+        cfg = self.cfg
+        coords = R.warp_coordinates(self.geom, extrins, intrins, h, w)
+        sample_coords = coords
+        if cfg.add_uv_noise and training and rng is not None:
+            rng, sub = jax.random.split(rng)
+            sample_coords = R.add_texel_noise(coords, sub)
+
+        if not self.is_sparse:
+            feats = R.sample_dense(params["atlas"], sample_coords)
+            rgb_p, alpha_p = self._decode(feats, coords, intrins, extrins)
+        else:
+            k_s, fu, fv = R.tile_lookup(
+                self.geom, jnp.asarray(self.tile_map_static), sample_coords)
+            k_d, _, _ = R.tile_lookup(
+                self.geom, jnp.asarray(self.tile_map_dyn), sample_coords)
+            vals_s, hit_s = R.sample_sparse(params["atlas"], k_s, fu, fv)
+            vals_d, hit_d = R.sample_sparse(params["atlas_dyn"], k_d, fu, fv)
+            feats = jnp.where(hit_s[..., None], vals_s, vals_d)
+            rgb_p, alpha_p = self._decode(feats, coords, intrins, extrins)
+            hit = hit_s | hit_d
+            alpha_p = jnp.where(hit, alpha_p, 0.0)
+            rgb_p = rgb_p * hit[..., None]
+
+        out_rgb, bw = R.composite_planes(alpha_p, rgb_p)
+        alpha_sum = jnp.sum(bw, axis=1)
+
+        bg = parse_bg_color(cfg.bg_color, rng)
+        out_rgb = R.apply_background(out_rgb, alpha_sum, bg)
+        disp = R.normalized_disparity(
+            self.geom, coords, bw, cfg.normalize_blendweight_fordepth)
+
+        variables = {
+            "alpha_planes": alpha_p,       # (B, D, h, w)
+            "rgb_planes": rgb_p,           # (B, D, h, w, 3)
+            "blend_weight": bw,
+            "disp_norm": disp,
+            "alpha": alpha_sum,
+            "loop_planes": None,
+        }
+
+        rgbl = out_rgb
+        if cfg.learn_loop_mask and not self.is_sparse:
+            mask_feats = R.sample_dense(params["atlas_mask"], sample_coords)
+            label_p = jax.nn.sigmoid(mask_feats[..., 0])
+            label_p = jnp.where(coords.valid, label_p, 0.0)
+            # loop-mask composite uses DETACHED alpha (ref MPI.py:578)
+            label, _ = R.composite_planes(
+                jax.lax.stop_gradient(alpha_p), label_p[..., None])
+            variables["loop_planes"] = label_p
+            rgbl = jnp.concatenate([out_rgb, label], axis=-1)
+        return rgbl, variables
+
+    def forward(self, params, h, w, tar_extrins, tar_intrins,
+                training=False, rng=None):
+        """World-space forward: ref MPI.py:596-652."""
+        rel = tar_extrins @ jnp.linalg.inv(
+            jnp.asarray(self.geom.ref_extrin_np()))[None]
+        rgbl, variables = self.render(params, h, w, rel, tar_intrins,
+                                      training, rng)
+        extra = {}
+        if training:
+            cfg = self.cfg
+            a = variables["alpha_planes"]
+            if cfg.sparsity_on:
+                extra["sparsity"] = regs.sparsity_loss(
+                    a, self.geom.n_planes, cfg.sparsity_eps)
+            if cfg.rgb_smooth_on:
+                extra["rgb_smooth"] = regs.content_smooth_loss(
+                    variables["rgb_planes"])
+            if cfg.a_smooth_on:
+                extra["a_smooth"] = regs.content_smooth_loss(a[..., None])
+            if cfg.d_smooth_on:
+                extra["d_smooth"] = regs.depth_smooth_loss(
+                    variables["disp_norm"], rgbl[..., :3], cfg.edge_scale)
+            if cfg.l_smooth_on and variables["loop_planes"] is not None:
+                extra["l_smooth"] = regs.content_smooth_loss(
+                    variables["loop_planes"][..., None])
+            if cfg.density_on:
+                extra["density"] = regs.density_loss(variables["alpha"])
+        return rgbl, extra

@@ -1,0 +1,149 @@
+"""Plane-sweep renderer: the TPU-native replacement for mesh rasterization.
+
+The reference renders by rasterizing tile quads with PyTorch3D
+(reference MPI.py:452-553, MPV.py:351-475) and scattering fragment colors
+into a ragged per-pixel layer list.  Planes here are fronto-parallel with
+affine UV fields, so perspective-correct rasterization is exactly a
+plane-induced homography warp; we therefore:
+
+  1. build per-(view, plane) inverse homographies,
+  2. warp the target pixel grid into plane texel coordinates,
+  3. gather RGBA (dense plane textures or packed sparse tiles),
+  4. over-composite near-to-far with a cumulative-product transmittance.
+
+All shapes are static; the whole sweep fuses into a few XLA gathers and
+elementwise ops — no CUDA extension, no masked_scatter.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from videoloop3d_tpu.core import planes as plane_math
+from videoloop3d_tpu.models.geometry import MPIGeometry
+from videoloop3d_tpu.render.sample import (
+    bilinear_planes, bilinear_tiles, bilinear_tiles_video)
+
+
+class WarpCoords(NamedTuple):
+    """Per-(view, plane, pixel) warp results; shapes (B, D, H, W)."""
+    x: jnp.ndarray
+    y: jnp.ndarray
+    zview: jnp.ndarray
+    valid: jnp.ndarray      # in front of camera AND inside the plane rect
+
+
+def warp_coordinates(geom: MPIGeometry, extrins, intrins, h, w) -> WarpCoords:
+    """Steps 1-2 of the sweep. extrins are RELATIVE to the ref camera."""
+    G = plane_math.plane_homographies(
+        geom.depths_np(), geom.ref_intrin_mpi_np(), extrins, intrins)
+    x, y, zview = plane_math.warp_grid(G, h, w)
+    inside = (x >= 0) & (x <= geom.mpi_w - 1) & \
+             (y >= 0) & (y <= geom.mpi_h - 1)
+    valid = inside & (zview > 1e-6)
+    return WarpCoords(x, y, zview, valid)
+
+
+def add_texel_noise(coords: WarpCoords, rng, scale=1.0) -> WarpCoords:
+    """+-1-texel jitter of sample positions (ref `add_uv_noise`,
+    MPI.py:519-523)."""
+    kx, ky = jax.random.split(rng)
+    nx = jax.random.uniform(kx, coords.x.shape, minval=-scale, maxval=scale)
+    ny = jax.random.uniform(ky, coords.y.shape, minval=-scale, maxval=scale)
+    return coords._replace(x=coords.x + nx, y=coords.y + ny)
+
+
+def sample_dense(atlas, coords: WarpCoords):
+    """Gather per-plane dense textures.
+
+    atlas: (D, Ht, Wt, C);  returns (B, D, H, W, C) raw features (zeroed
+    outside the plane) — activation is applied by the model.
+    """
+    B, D, H, W = coords.x.shape
+    xs = coords.x.reshape(B, D, H * W)
+    ys = coords.y.reshape(B, D, H * W)
+    vals, _ = jax.vmap(lambda x, y: bilinear_planes(atlas, x, y))(xs, ys)
+    C = atlas.shape[-1]
+    return vals.reshape(B, D, H, W, C)
+
+
+def tile_lookup(geom: MPIGeometry, tile_map, coords: WarpCoords):
+    """Map warp coordinates to (packed tile index, in-tile texel coords).
+
+    tile_map: (D, n_tiles_h, n_tiles_w) int32, -1 = culled.
+    Returns k (B,D,H,W) int32 and (u, v) texel coords for a tile of size
+    (tile_h, tile_w) — the caller supplies tile textures of that size.
+    """
+    sy, sx = geom.tile_span
+    j = jnp.clip(jnp.floor(coords.x / sx).astype(jnp.int32),
+                 0, geom.n_tiles_w - 1)
+    i = jnp.clip(jnp.floor(coords.y / sy).astype(jnp.int32),
+                 0, geom.n_tiles_h - 1)
+    fu = (coords.x - j.astype(coords.x.dtype) * sx) / sx
+    fv = (coords.y - i.astype(coords.y.dtype) * sy) / sy
+    flat_map = tile_map.reshape(geom.n_planes, -1)
+    ij = (i * geom.n_tiles_w + j)                       # (B, D, H, W)
+    B, D, H, W = ij.shape
+    k = jnp.take_along_axis(
+        jnp.broadcast_to(flat_map[None], (B,) + flat_map.shape),
+        ij.reshape(B, D, -1), axis=-1).reshape(B, D, H, W)
+    k = jnp.where(coords.valid, k, -1)
+    return k, fu, fv
+
+
+def sample_sparse(tiles, k, fu, fv):
+    """Gather packed tiles: tiles (N, th, tw, C), k/fu/fv from tile_lookup.
+    Returns ((B,D,H,W,C) values, (B,D,H,W) hit-mask)."""
+    th, tw = tiles.shape[1], tiles.shape[2]
+    vals, hit = bilinear_tiles(tiles, k, fu * (tw - 1), fv * (th - 1))
+    return vals, hit
+
+
+def sample_sparse_video(tiles, k, fu, fv):
+    """Gather frame-stacked packed tiles: tiles (F, N, th, tw, C).
+    Returns ((F,B,D,H,W,C) values, (B,D,H,W) hit-mask)."""
+    th, tw = tiles.shape[2], tiles.shape[3]
+    vals, hit = bilinear_tiles_video(tiles, k, fu * (tw - 1), fv * (th - 1))
+    return vals, hit
+
+
+def composite_planes(alpha, content):
+    """Composite over the plane axis (axis 1), planes stored FAR -> NEAR.
+
+    alpha: (B, D, H, W); content: (B, D, H, W, C).
+    Returns (rgb (B,H,W,C), blend_weight (B,D,H,W) in plane order).
+    """
+    a = jnp.flip(alpha, axis=1)                      # near first
+    c = jnp.flip(content, axis=1)
+    a = jnp.moveaxis(a, 1, -1)                       # (B, H, W, D)
+    c = jnp.moveaxis(c, 1, -2)                       # (B, H, W, D, C)
+    one_minus = 1.0 - a
+    trans = jnp.cumprod(one_minus, axis=-1)
+    trans = jnp.concatenate(
+        [jnp.ones_like(trans[..., :1]), trans[..., :-1]], axis=-1)
+    w = a * trans
+    out = jnp.sum(c * w[..., None], axis=-2)
+    w = jnp.flip(jnp.moveaxis(w, -1, 1), axis=1)     # back to plane order
+    return out, w
+
+
+def normalized_disparity(geom: MPIGeometry, coords: WarpCoords,
+                         blend_weight, normalize_by_alpha=False):
+    """Per-pixel disparity map from blend weights (ref MPI.py:563-566)."""
+    z = jnp.where(coords.valid, coords.zview, 1.0)
+    disp = (1.0 / z - 1.0 / geom.far) / (1.0 / geom.near - 1.0 / geom.far)
+    disp = jnp.where(coords.valid, disp, 0.0)
+    num = jnp.sum(disp * blend_weight, axis=1)
+    if normalize_by_alpha:
+        denom = jnp.clip(jnp.sum(blend_weight, axis=1), 1e-10, None)
+        num = num / denom
+    return num
+
+
+def apply_background(rgb, alpha_sum, bg_color: Optional[jnp.ndarray]):
+    """Mix a background color (ref MPI.py:555-561)."""
+    if bg_color is None:
+        return rgb
+    return rgb * alpha_sum[..., None] + bg_color * (1.0 - alpha_sum[..., None])
