@@ -1,0 +1,82 @@
+import os
+
+import numpy as np
+
+from videoloop3d_tpu.config import parse_args_with_configs
+from videoloop3d_tpu.data import synthetic
+from videoloop3d_tpu.train import stage1, optimizer as opt_lib
+
+
+def _debug_args(tmp_path, scene_dir, **over):
+    argv = [
+        "--datadir", scene_dir, "--expdir", str(tmp_path / "exp"),
+        "--expname", "smoke", "--factor", "1",
+        "--mpi_h_scale", "1.2", "--mpi_w_scale", "1.2",
+        "--mpi_h_verts", "5", "--mpi_w_verts", "7",
+        "--mpi_d", "4", "--atlas_grid_h", "2",
+        "--patch_h_size", "24", "--patch_w_size", "32",
+        "--patch_h_stride", "16", "--patch_w_stride", "24",
+        "--lrate", "0.1", "--lrate_decay", "100",
+        "--N_iters", "4", "--i_weights", "4", "--i_video", "1000",
+        "--i_img", "5", "--i_print", "1000",
+        "--scale_invariant", "--learn_loop_mask",
+        "--sparsity_loss_weight", "0.004",
+        "--rgb_smooth_loss_weight", "0.2",
+        "--a_smooth_loss_weight", "0.5",
+        "--density_loss_weight", "0.02", "--density_loss_epoch", "2",
+        "--seed", "1",
+    ]
+    for k, v in over.items():
+        argv += [f"--{k}", str(v)]
+    return parse_args_with_configs(argv)
+
+
+def test_adam_matches_torch_semantics():
+    import torch
+    rng = np.random.default_rng(0)
+    p0 = rng.normal(size=(5, 3)).astype(np.float32)
+    params = {"a": np.array(p0)}
+    init, update = opt_lib.make_optimizer("adam", eps=1e-8)
+    state = init({"a": __import__("jax.numpy", fromlist=["x"]).asarray(p0)})
+
+    tp = torch.nn.Parameter(torch.tensor(p0))
+    topt = torch.optim.Adam([tp], lr=0.01, betas=(0.9, 0.999), eps=1e-8)
+    import jax.numpy as jnp
+    jp = {"a": jnp.asarray(p0)}
+    for i in range(5):
+        g = rng.normal(size=p0.shape).astype(np.float32)
+        topt.zero_grad()
+        tp.grad = torch.tensor(g)
+        topt.step()
+        jp, state = update(jp, {"a": jnp.asarray(g)}, state,
+                           {"a": jnp.asarray(0.01)})
+    assert np.allclose(np.asarray(jp["a"]), tp.detach().numpy(), atol=1e-5)
+
+
+def test_stage1_end_to_end_smoke(tmp_path):
+    """Fit a tiny MPI on the synthetic scene: PSNR must improve, the
+    sparsify event must fire, checkpoints and artifacts must appear."""
+    scene = synthetic.make_scene(n_views=3, h=24, w=32, n_frames=6, seed=0)
+    scene_dir = str(tmp_path / "scene")
+    synthetic.write_llff_dir(scene, scene_dir, factor=1)
+
+    args = _debug_args(tmp_path, scene_dir, sparsify_epoch=3,
+                       sparsify_alpha_thresh="0.03")
+    psnrs = []
+    model, params, rundir = stage1.train(
+        args, progress_cb=lambda e, m: psnrs.append(float(m["psnr"])))
+
+    assert len(psnrs) == 4
+    assert psnrs[-1] > psnrs[0] + 1.0, psnrs     # learning happened
+    assert model.is_sparse and model.has_dyn
+    assert params["atlas"].ndim == 4             # packed static tiles
+    ckpts = [f for f in os.listdir(rundir) if f.endswith(".npz")
+             and "ckpt" in f]
+    assert ckpts, os.listdir(rundir)
+    assert os.path.isdir(os.path.join(rundir, "loopvis"))
+
+    # resume path: load the checkpoint back and render
+    from videoloop3d_tpu.models import checkpoint as ckpt_io
+    loaded = ckpt_io.load_checkpoint(os.path.join(rundir, sorted(ckpts)[-1]))
+    assert loaded["meta"]["is_sparse"]
+    assert loaded["tile_map_static"] is not None

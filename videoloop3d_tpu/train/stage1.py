@@ -1,0 +1,290 @@
+"""Stage-1 training: fit the static MPI + learned 3D loop mask.
+
+Parity: reference train_3d.py:98-363.  Structure: a jitted train step
+(forward + BCE loop loss + scale-invariant MSE + weighted regularizers +
+Adam) re-specialized when the model changes shape (tile culling), driven
+by a host loop that owns data, schedules, events and artifacts.
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from videoloop3d_tpu.core import cameras
+from videoloop3d_tpu.core.activations import ACTIVATIONS
+from videoloop3d_tpu.data import llff
+from videoloop3d_tpu.data.patches import ImagePatchDataset
+from videoloop3d_tpu.data.video import to8b, write_video, write_image
+from videoloop3d_tpu.models import checkpoint as ckpt_io
+from videoloop3d_tpu.models.mpmesh import MPMesh
+from videoloop3d_tpu.models.sparsify import apply_tile_cull
+from videoloop3d_tpu.train import common, optimizer as opt_lib
+
+
+def make_train_step(model: MPMesh, args, h, w):
+    """Build the jitted stage-1 step for patches of size (h, w)."""
+    opt_init, opt_update = opt_lib.make_optimizer(args.optimizer, eps=1e-8)
+    group_fn = opt_lib.make_group_fn(args.optimize_verts_gain)
+    learn_loop = model.cfg.learn_loop_mask and not model.is_sparse
+    weight_keys = ("sparsity", "rgb_smooth", "a_smooth", "d_smooth",
+                   "l_smooth", "density")
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, batch, lr, weights, rng):
+        def loss_fn(p):
+            rgbl, extra = model.forward(
+                p, h, w, batch["extrin"], batch["intrin"],
+                training=True, rng=rng)
+            if learn_loop:
+                loop = jnp.clip(rgbl[..., 3], 0.001, 0.999)
+                gt_loop = batch["loopmask"]
+                entropy = gt_loop * jnp.log(loop) \
+                    + (1 - gt_loop) * jnp.log(1 - loop)
+                loop_loss = -jnp.mean(entropy)
+                rgb = rgbl[..., :3]
+            else:
+                loop_loss = 0.0
+                rgb = rgbl[..., :3]
+
+            if args.scale_invariant:
+                gain = common.scale_invariant_gain(
+                    batch["rgb"], jax.lax.stop_gradient(rgb))
+                rgb = rgb * gain
+            img_loss = common.mse(rgb, batch["rgb"])
+
+            total = img_loss + loop_loss
+            metrics = {"mse": img_loss, "loop_bce": loop_loss}
+            for k, v in extra.items():
+                metrics[k] = v
+                total = total + weights[k] * v
+            metrics["loss"] = total
+            metrics["psnr"] = common.mse_to_psnr(img_loss)
+            return total, metrics
+
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(params)
+        lr_tree = opt_lib.build_lr_tree(params, lr, group_fn)
+        new_params, new_opt = opt_update(params, grads, opt_state, lr_tree)
+        return new_params, new_opt, metrics
+
+    return step, opt_init, weight_keys
+
+
+def render_preview(model, params, h, w, render_extrins, render_intrins,
+                   chunk=8):
+    """Render the spiral path (eval mode, full frames)."""
+    fwd = jax.jit(lambda p, e, i: model.forward(p, h, w, e, i,
+                                                training=False)[0])
+    frames = []
+    for i in range(len(render_extrins)):
+        rgbl = fwd(params, jnp.asarray(render_extrins[i:i + 1]),
+                   jnp.asarray(render_intrins[i:i + 1]))
+        frames.append(np.asarray(rgbl[0]))
+    return np.stack(frames)
+
+
+def save_texture_preview(model, params, path_prefix):
+    """Activated atlas dump (ref MPI.py:242-260 save_texture): dense
+    planes tiled into one image, or the packed static/dynamic tiles."""
+    rgb_act = ACTIVATIONS[model.cfg.rgb_activate]
+    a_act = ACTIVATIONS[model.cfg.alpha_activate]
+
+    def activate(t):
+        rgb = np.asarray(rgb_act(jnp.asarray(t[..., :3])))
+        alpha = np.asarray(a_act(jnp.asarray(t[..., -1:])))
+        return np.concatenate([rgb, alpha], -1)
+
+    if not model.is_sparse:
+        atlas = activate(np.asarray(params["atlas"]))
+        d, hh, ww, c = atlas.shape
+        grid = int(np.ceil(np.sqrt(d)))
+        canvas = np.zeros((grid * hh, grid * ww, c), np.float32)
+        for i in range(d):
+            r, col = divmod(i, grid)
+            canvas[r * hh:(r + 1) * hh, col * ww:(col + 1) * ww] = atlas[i]
+        write_image(path_prefix + ".png", to8b(canvas))
+    else:
+        for key, name in (("atlas", "_static"), ("atlas_dyn", "_dyn")):
+            tiles = np.asarray(params[key])
+            if len(tiles) == 0:
+                continue
+            act = activate(tiles)
+            n, th, tw, c = act.shape
+            grid = int(np.ceil(np.sqrt(n)))
+            canvas = np.zeros((grid * th, grid * tw, c), np.float32)
+            for i in range(n):
+                r, col = divmod(i, grid)
+                canvas[r * th:(r + 1) * th, col * tw:(col + 1) * tw] = act[i]
+            write_image(path_prefix + name + ".png", to8b(canvas))
+
+
+def save_loopmask_preview(model, params, path_prefix):
+    """Loop-mask atlas dump (ref MPI.py:262-271)."""
+    if "atlas_mask" not in params:
+        return
+    a_act = ACTIVATIONS[model.cfg.alpha_activate]
+    alpha = np.asarray(a_act(jnp.asarray(params["atlas"][..., -1:])))
+    loop = np.asarray(jax.nn.sigmoid(jnp.asarray(params["atlas_mask"])))
+    rgba = np.concatenate([1 - loop, loop, np.zeros_like(loop), alpha], -1)
+    d, hh, ww, _ = rgba.shape
+    grid = int(np.ceil(np.sqrt(d)))
+    canvas = np.zeros((grid * hh, grid * ww, 4), np.float32)
+    for i in range(d):
+        r, col = divmod(i, grid)
+        canvas[r * hh:(r + 1) * hh, col * ww:(col + 1) * ww] = rgba[i]
+    write_image(path_prefix + ".png", to8b(canvas))
+
+
+def save_stage1_checkpoint(path, model, params, epoch):
+    ckpt_io.save_checkpoint(
+        path, geom=model.geom, params=params, stage="mpi",
+        is_sparse=model.is_sparse, has_dyn=model.has_dyn,
+        tile_map_static=model.tile_map_static,
+        tile_map_dyn=model.tile_map_dyn, tile_hw=model.tile_hw,
+        extra_meta={"epoch_i": epoch,
+                    "rgb_mlp_type": model.cfg.rgb_mlp_type,
+                    "rgb_activate": model.cfg.rgb_activate,
+                    "alpha_activate": model.cfg.alpha_activate})
+
+
+def train(args, progress_cb=None):
+    """Full stage-1 loop.  Returns (model, params, expdir)."""
+    expname = args.expname + args.expname_postfix
+    datadir = os.path.join(args.prefix, args.datadir)
+    expdir = os.path.join(args.prefix, args.expdir)
+    rundir = os.path.join(expdir, expname)
+
+    videos, fps, scene = llff.load_mv_videos(
+        basedir=datadir, factor=args.factor,
+        bd_factor=(args.near_factor, args.far_factor), recenter=True)
+    H, W = scene["hw"]
+    poses, intrins, bds = scene["poses"], scene["intrins"], scene["bds"]
+
+    ref_pose = cameras.average_pose(poses)[:, :4]
+    ref_extrin = cameras.pose_to_extrinsic(ref_pose)
+    ref_intrin = intrins.mean(0)
+    near, far = float(bds.min()), float(bds.max())
+
+    logger = common.MetricsLogger(rundir)
+    common.snapshot_run(expdir, expname, args)
+
+    model = MPMesh(args, H, W, ref_extrin, ref_intrin, near, far)
+    params = model.init_params(args.seed)
+
+    if args.init_from:
+        loaded = ckpt_io.load_checkpoint(
+            os.path.join(args.prefix, args.init_from))
+        params = {k: jnp.asarray(v) for k, v in loaded["params"].items()}
+        model.geom = loaded["geom"]
+        meta = loaded["meta"]
+        model.is_sparse = meta["is_sparse"]
+        model.has_dyn = meta["has_dyn"]
+        model.tile_map_static = loaded["tile_map_static"]
+        model.tile_map_dyn = loaded["tile_map_dyn"]
+        model.tile_hw = tuple(meta["tile_hw"]) if meta["tile_hw"] else None
+
+    dataset = ImagePatchDataset(
+        (H, W), videos, (args.patch_h_size, args.patch_w_size),
+        (args.patch_h_stride, args.patch_w_stride), poses, intrins,
+        args.vid2img_mode)
+
+    # per-view image/loopmask visualisation dumps (ref train_3d.py:265-272)
+    for vi, (img, mask) in enumerate(zip(dataset.images, dataset.masks)):
+        p = os.path.join(rundir, f"imgvis_{args.vid2img_mode}")
+        os.makedirs(p, exist_ok=True)
+        write_image(os.path.join(p, f"{vi:04d}.png"), to8b(img))
+        p = os.path.join(rundir, "loopvis")
+        os.makedirs(p, exist_ok=True)
+        write_image(os.path.join(p, f"{vi:04d}.png"), to8b(mask))
+
+    ph, pw = dataset.patch_size
+    step_fn, opt_init, weight_keys = make_train_step(model, args, ph, pw)
+    opt_state = opt_init(params)
+
+    weights_base = common.extra_loss_weights(args, weight_keys)
+    np_rng = np.random.default_rng(args.seed)
+    key = jax.random.PRNGKey(args.seed)
+
+    total_step = 0
+    metrics = {}
+    for epoch in range(args.N_iters):
+        if epoch == args.sparsify_epoch:
+            params, cull_info = apply_tile_cull(
+                model, params, ACTIVATIONS[model.cfg.alpha_activate],
+                erode_num=args.sparsify_erode,
+                alpha_thresh=args.sparsify_alpha_thresh,
+                rm_first_layers=args.sparsify_rmfirstlayer)
+            print(f"[stage1] tile culling: keep {cull_info['keep_frac']:.1%}"
+                  f" of tiles, {cull_info['dyn_frac']:.1%} dynamic")
+            step_fn, opt_init, weight_keys = make_train_step(
+                model, args, ph, pw)
+            opt_state = opt_init(params)
+
+        # density-weight quadratic ramp (ref train_3d.py:292-293)
+        pct = np.clip(epoch / (args.density_loss_epoch + 1), 0, 1)
+        weights = dict(weights_base)
+        weights["density"] = float(pct * pct * weights_base["density"])
+        weights_dev = {k: jnp.asarray(v, jnp.float32)
+                       for k, v in weights.items()}
+
+        for item in dataset.iter_epoch(np_rng, shuffle=True):
+            lr = opt_lib.lr_schedule(total_step, args.lrate,
+                                     decay_steps_k=args.lrate_decay)
+            intrin = item["intrin"]
+            if args.add_intrin_noise:
+                intrin = common.jitter_intrinsic(intrin, np_rng)
+            extrin = cameras.pose_to_extrinsic(item["pose"])
+            batch = {
+                "extrin": jnp.asarray(extrin, jnp.float32)[None],
+                "intrin": jnp.asarray(intrin, jnp.float32)[None],
+                "rgb": jnp.asarray(item["rgb"])[None],
+                "loopmask": jnp.asarray(item["loopmask"])[None],
+            }
+            key, sub = jax.random.split(key)
+            params, opt_state, metrics = step_fn(
+                params, opt_state, batch, jnp.asarray(lr, jnp.float32),
+                weights_dev, sub)
+            if total_step % args.i_img == 0:
+                for k, v in metrics.items():
+                    logger.scalar(f"stage1/{k}", float(v), total_step)
+                logger.scalar("stage1/lr", lr, total_step)
+            total_step += 1
+
+        if metrics and (epoch % max(args.i_print // 10, 1) == 0):
+            print(f"[stage1] epoch {epoch} loss={float(metrics['loss']):.4f}"
+                  f" psnr={float(metrics['psnr']):.2f}")
+        if progress_cb is not None:
+            progress_cb(epoch, metrics)
+
+        if (epoch + 1) % args.i_weights == 0 or epoch == args.N_iters - 1:
+            save_stage1_checkpoint(
+                os.path.join(rundir, f"ckpt_epoch_{epoch:04d}.npz"),
+                model, params, epoch)
+
+        if (epoch + 1) % args.i_video == 0:
+            frames = render_preview(model, params, H, W,
+                                    cameras.pose_to_extrinsic(
+                                        scene["render_poses"]),
+                                    scene["render_intrins"])
+            rgb = frames[..., :3]
+            write_video(os.path.join(rundir, f"epoch_{epoch:04d}_rgb.mp4"),
+                        to8b(rgb), fps=25)
+            if frames.shape[-1] == 4:
+                lm = frames[..., 3]
+                lm = np.stack([np.zeros_like(lm), lm, np.zeros_like(lm)], -1)
+                write_video(os.path.join(
+                    rundir, f"epoch_{epoch:04d}_loopable.mp4"),
+                    to8b(lm), fps=25)
+            save_texture_preview(model, params,
+                                 os.path.join(rundir,
+                                              f"texture_epoch_{epoch:04d}"))
+            save_loopmask_preview(model, params,
+                                  os.path.join(
+                                      rundir,
+                                      f"loopable_epoch_{epoch:04d}"))
+
+    logger.close()
+    return model, params, rundir
