@@ -1,0 +1,163 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from videoloop3d_tpu.losses import patch_nn as P
+
+
+def test_extract_patches_shapes_and_values():
+    rng = np.random.default_rng(0)
+    x = rng.random((3, 5, 8, 9)).astype(np.float32)
+    out = np.asarray(P.extract_patches_3d(jnp.asarray(x), (3, 3, 3),
+                                          (1, 2, 2)))
+    assert out.shape == (3, 3, 4, 3, 3, 3, 3)
+    assert np.allclose(out[1, 2, 0], x[:, 1:4, 4:7, 0:3])
+    assert np.allclose(out[0, 0, 3], x[:, 0:3, 0:3, 6:9])
+
+
+def test_fold_roundtrip():
+    rng = np.random.default_rng(1)
+    x = rng.random((2, 5, 9, 11)).astype(np.float32)
+    psz, strides = (3, 3, 3), (2, 2, 2)
+    patches = P.extract_patches_3d(jnp.asarray(x), psz, strides)
+    folded = np.asarray(P.fold_patches_3d(patches, x.shape[1:], strides))
+    weight = P.fold_weight(x.shape[1:], psz, strides)
+    assert np.allclose(folded / weight[None], x, atol=1e-5)
+
+
+def test_fold_weight_matches_bruteforce():
+    psz, strides = (3, 5, 5), (1, 2, 2)
+    shape = (5, 9, 13)
+    w = P.fold_weight(shape, psz, strides)
+    ones = jnp.ones((1,) + tuple(
+        (P.n_patches(s, p, st) - 1) * st + p
+        for s, p, st in zip(shape, psz, strides)))
+    patches = P.extract_patches_3d(ones, psz, strides)
+    brute = np.asarray(P.fold_patches_3d(patches, shape, strides))[0]
+    assert np.allclose(w, brute)
+
+
+def test_nn_indices_bruteforce_and_alpha():
+    rng = np.random.default_rng(2)
+    X = rng.random((4, 6, 10)).astype(np.float32)
+    Y = rng.random((4, 5, 10)).astype(np.float32)
+    nns = np.asarray(P.nn_indices(jnp.asarray(X), jnp.asarray(Y)))
+    # brute force
+    d = ((X[:, :, None] - Y[:, None]) ** 2).sum(-1) / 10
+    assert np.array_equal(nns, d.argmin(-1))
+    # alpha normalization changes the answer the documented way
+    alpha = 0.01
+    colmin = d.min(1, keepdims=True)
+    dn = d / (alpha + colmin)
+    nns_a = np.asarray(P.nn_indices(jnp.asarray(X), jnp.asarray(Y), alpha))
+    assert np.array_equal(nns_a, dn.argmin(-1))
+
+
+def test_nn_retarget_identity():
+    """With y == x every patch's NN is itself -> retarget reproduces x."""
+    rng = np.random.default_rng(3)
+    x = rng.random((3, 7, 9, 9)).astype(np.float32)
+    psz, strides = (3, 3, 3), (2, 2, 2)
+    y2x = np.asarray(P.nn_retarget(jnp.asarray(x), jnp.asarray(x), psz,
+                                   strides))
+    weight = P.fold_weight(x.shape[1:], psz, strides)
+    assert np.allclose(y2x / weight[None], x, atol=1e-5)
+
+
+def test_robust_lossfun_matches_reference_formula():
+    x = np.linspace(-2, 2, 9, dtype=np.float32)
+    for rou, scale in [("mse", 0.2), ("abs", 0.2), (0, 0.2), (2, 0.1),
+                       (-2, 0.1), (1, 0.3)]:
+        got = np.asarray(P.robust_lossfun(jnp.asarray(x), rou, scale))
+        # reference formula (utils_vid.py:10-26) in numpy
+        if rou == "mse":
+            want = x ** 2
+        elif rou == "abs":
+            want = np.abs(x)
+        else:
+            r = float(rou)
+            z = (x / scale) ** 2
+            if r == 0:
+                want = np.log1p(z * 0.5)
+            elif r == 2:
+                want = 0.5 * z
+            else:
+                b = abs(r - 2) + 1e-6
+                d = r + 1e-6 if r >= 0 else r - 1e-6
+                want = (b / d) * ((z / b + 1) ** (0.5 * d) - 1) * scale * 10
+        assert np.allclose(got, want, rtol=1e-4), rou
+
+
+def test_gpnn_lowmem_identity_is_zero():
+    rng = np.random.default_rng(4)
+    x = rng.random((3, 6, 20, 24)).astype(np.float32)
+    loss = P.gpnn_lowmem_loss(jnp.asarray(x), jnp.asarray(x),
+                              patch_size=3, patcht_size=3, stride=2,
+                              stridet=1, alpha=1e10, rou="mse",
+                              macro_block=12)
+    assert float(loss) < 1e-8
+
+
+def test_gpnn_lowmem_prefers_matching_video():
+    """Retargeting toward a shuffled version of x costs less than toward
+    an unrelated video."""
+    rng = np.random.default_rng(5)
+    x = rng.random((3, 6, 16, 16)).astype(np.float32)
+    y_near = x + rng.normal(scale=0.01, size=x.shape).astype(np.float32)
+    y_far = rng.random((3, 6, 16, 16)).astype(np.float32)
+    kw = dict(patch_size=3, patcht_size=3, stride=2, stridet=1,
+              alpha=1e10, rou="mse", macro_block=12)
+    l_near = float(P.gpnn_lowmem_loss(jnp.asarray(x), jnp.asarray(y_near),
+                                      **kw))
+    l_far = float(P.gpnn_lowmem_loss(jnp.asarray(x), jnp.asarray(y_far),
+                                     **kw))
+    assert l_near < l_far
+
+
+def test_gpnn_gradient_flows_only_through_render():
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.random((3, 6, 16, 16)).astype(np.float32))
+    y = jnp.asarray(rng.random((3, 6, 16, 16)).astype(np.float32))
+
+    def loss(x_):
+        return P.gpnn_lowmem_loss(x_, y, patch_size=3, patcht_size=3,
+                                  stride=2, stridet=1, alpha=1e10,
+                                  rou=0, scaling=0.2, macro_block=12)
+    g = jax.grad(loss)(x)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).max()) > 0
+
+
+def test_gpnn_downsample_reduces_to_lowmem_and_runs():
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.random((3, 6, 24, 24)).astype(np.float32))
+    y = jnp.asarray(rng.random((3, 6, 24, 24)).astype(np.float32))
+    kw = dict(patch_size=3, patcht_size=3, stride=2, stridet=1,
+              alpha=1e10, rou="mse", macro_block=12)
+    l1 = float(P.gpnn_downsample_loss(x, y, factor=1, **kw))
+    l_lm = float(P.gpnn_lowmem_loss(x, y, **kw))
+    assert np.isclose(l1, l_lm)
+    l2 = float(P.gpnn_downsample_loss(x, y, factor=2, **kw))
+    assert np.isfinite(l2) and l2 > 0
+
+
+def test_mse_and_avg_losses():
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.random((3, 5, 8, 8)).astype(np.float32))
+    y = jnp.asarray(rng.random((3, 7, 8, 8)).astype(np.float32))
+    assert float(P.video_mse_loss(x, x)) == 0
+    assert float(P.video_mse_loss(x, y)) > 0
+    assert float(P.video_avg_loss(x, x)) == 0
+
+
+def test_swd_loss_runs_and_discriminates():
+    from videoloop3d_tpu.losses.swd import swd_3d_loss
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.random((3, 6, 16, 16)).astype(np.float32))
+    y = jnp.asarray(rng.random((3, 6, 16, 16)).astype(np.float32))
+    key = jax.random.PRNGKey(0)
+    kw = dict(patch_size=3, patcht_size=3, stride=1, stridet=1, num_proj=32)
+    l_same = float(swd_3d_loss(x, x, key, **kw))
+    l_diff = float(swd_3d_loss(x, y, key, **kw))
+    assert l_same < 1e-6
+    assert l_diff > l_same

@@ -1,0 +1,355 @@
+"""3D-patch nearest-neighbor (GPNN-style) looping losses — the paper's core.
+
+TPU-first design
+----------------
+The reference (utils_vid.py:60-434) unfolds the video into
+(pt, p, p) spatio-temporal patches with `unfoldNd`, runs a chunked
+nearest-neighbor search, and folds NN patches back with a transposed
+convolution.  Three observations drive this implementation:
+
+1. The NN search is *per spatial location over temporal patches only*
+   (utils_vid.py:213-216 reshapes to B = h*w batches of d = n_t
+   candidates) — so the distance computation is a batch of small GEMMs,
+   a perfect MXU workload expressed as one einsum.
+2. Fold (overlap-add) is separable across the three axes: fold_w then
+   fold_h then fold_t, each a handful of strided adds — p+p+pt strided
+   updates instead of a transposed conv or a giant scatter.
+3. The fold weight (count of patches covering each voxel) is an analytic
+   outer product of three 1-D profiles — never folded at runtime.
+
+Everything is static-shape given (T, H, W, patch cfg), so the whole loss
+jits into one XLA program.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# robust loss (ref utils_vid.py:10-26)
+# ---------------------------------------------------------------------------
+
+def robust_lossfun(x, rou, scale, epsilon=1e-6):
+    """General robust penalty rho(x); `rou` in {'mse','abs'} or a float
+    (the Barron-style family the reference uses, incl. its *(scale*10)
+    quirk for general rou)."""
+    if rou == "mse":
+        return x ** 2
+    if rou == "abs":
+        return jnp.abs(x)
+    rou = float(rou)
+    z = (x / scale) ** 2
+    if rou == 0:
+        return jnp.log1p(z * 0.5)
+    if rou == 2:
+        return 0.5 * z
+    b = abs(rou - 2) + epsilon
+    d = rou + epsilon if rou >= 0 else rou - epsilon
+    loss = (b / d) * (jnp.power(z / b + 1.0, 0.5 * d) - 1.0)
+    return loss * (scale * 10)
+
+
+# ---------------------------------------------------------------------------
+# patch extraction / fold
+# ---------------------------------------------------------------------------
+
+def n_patches(size, p, s):
+    return (size - p) // s + 1
+
+
+def fit_patch_size(size, p, s):
+    """Largest size' <= size with (size' - p) % s == 0
+    (ref utils_vid.py:308-318 fit_patch)."""
+    return (size - p) // s * s + p
+
+
+def extract_patches_3d(x, psz, strides):
+    """x: (C, T, H, W) -> (n_t, n_h, n_w, C, pt, p, p)."""
+    C, T, H, W = x.shape
+    (pt, ph, pw), (st, sh, sw) = psz, strides
+    nt, nh, nw = n_patches(T, pt, st), n_patches(H, ph, sh), \
+        n_patches(W, pw, sw)
+    idx_t = (np.arange(nt)[:, None] * st + np.arange(pt)).reshape(-1)
+    idx_h = (np.arange(nh)[:, None] * sh + np.arange(ph)).reshape(-1)
+    idx_w = (np.arange(nw)[:, None] * sw + np.arange(pw)).reshape(-1)
+    out = x[:, idx_t][:, :, idx_h][:, :, :, idx_w]
+    out = out.reshape(C, nt, pt, nh, ph, nw, pw)
+    return jnp.transpose(out, (1, 3, 5, 0, 2, 4, 6))
+
+
+def _fold_axis(v, length, stride):
+    """v: (..., n, p) -> (..., length) overlap-add with out[i*s + dp] +=
+    v[i, dp]."""
+    n, p = v.shape[-2], v.shape[-1]
+    out = jnp.zeros(v.shape[:-2] + (length,), v.dtype)
+    span = (n - 1) * stride + 1
+    for dp in range(p):
+        out = out.at[..., dp:dp + span:stride].add(v[..., :, dp])
+    return out
+
+
+def fold_patches_3d(patches, out_shape, strides):
+    """Inverse of extract (overlap-add).  patches:
+    (n_t, n_h, n_w, C, pt, p, p) -> (C, T, H, W)."""
+    T, H, W = out_shape
+    st, sh, sw = strides
+    v = jnp.transpose(patches, (3, 0, 4, 1, 5, 2, 6))
+    # (C, n_t, pt, n_h, ph, n_w, pw): fold w, then h, then t
+    v = jnp.moveaxis(v, (5, 6), (-2, -1))
+    v = _fold_axis(v, W, sw)                      # (C,nt,pt,nh,ph,W)
+    v = jnp.moveaxis(v, (3, 4), (-2, -1))         # (C,nt,pt,W,nh,ph)
+    v = _fold_axis(v, H, sh)                      # (C,nt,pt,W,H)
+    v = jnp.moveaxis(v, (1, 2), (-2, -1))         # (C,W,H,nt,pt)
+    v = _fold_axis(v, T, st)                      # (C,W,H,T)
+    return jnp.transpose(v, (0, 3, 2, 1))
+
+
+def _fold_profile_1d(length, p, s):
+    n = n_patches(length, p, s)
+    prof = np.zeros(length, np.float32)
+    for i in range(n):
+        prof[i * s:i * s + p] += 1.0
+    return prof
+
+
+def fold_weight(out_shape, psz, strides):
+    """Analytic fold-of-ones: outer product of per-axis coverage counts."""
+    T, H, W = out_shape
+    (pt, ph, pw), (st, sh, sw) = psz, strides
+    wt = _fold_profile_1d(T, pt, st)
+    wh = _fold_profile_1d(H, ph, sh)
+    ww = _fold_profile_1d(W, pw, sw)
+    return wt[:, None, None] * wh[None, :, None] * ww[None, None, :]
+
+
+# ---------------------------------------------------------------------------
+# temporal NN search (ref utils_vid.py:72-142)
+# ---------------------------------------------------------------------------
+
+def _pairwise_sqdist(X, Y):
+    """X: (B, n, d); Y: (B, m, d) -> (B, n, m), normalized by d."""
+    hi = jax.lax.Precision.HIGHEST
+    xx = jnp.sum(X * X, axis=-1)[..., :, None]
+    yy = jnp.sum(Y * Y, axis=-1)[..., None, :]
+    xy = jnp.einsum("bnd,bmd->bnm", X, Y, precision=hi)
+    return (xx + yy - 2.0 * xy) / X.shape[-1]
+
+
+def nn_indices(X, Y, alpha=None):
+    """Per-batch nearest neighbor of each X row among Y rows, with the
+    optional completeness normalization: distances are divided column-wise
+    by (alpha + min_i dist(i, j)) so rarely-used targets become cheaper
+    (the paper's alpha term; ref utils_vid.py:122-142)."""
+    dist = _pairwise_sqdist(X, Y)
+    if alpha is not None:
+        col_min = jnp.min(dist, axis=1, keepdims=True)     # (B, 1, m)
+        dist = dist / (alpha + col_min)
+    return jnp.argmin(dist, axis=2)
+
+
+def nn_retarget(x, y, psz, strides, alpha=None):
+    """Build the retargeted pseudo-ground-truth: for every 3D patch of x,
+    its temporal NN patch of y (same spatial location), folded back.
+
+    x: (C, Tx, H, W); y: (C, Ty, H, W)  (H, W already patch-fitted).
+    Returns (y2x_sum (C,Tx,H,W), used with `fold_weight`).
+    Parity: utils_vid.py:206-229 (FindNNpatchAndMerge).
+    """
+    Xp = extract_patches_3d(x, psz, strides)       # (ntx,nh,nw,C,pt,p,p)
+    Yp = extract_patches_3d(y, psz, strides)
+    ntx, nh, nw = Xp.shape[:3]
+    nty = Yp.shape[0]
+    dim = int(np.prod(Xp.shape[3:]))
+    Xf = Xp.reshape(ntx, nh * nw, dim).transpose(1, 0, 2)
+    Yf = Yp.reshape(nty, nh * nw, dim).transpose(1, 0, 2)
+    nns = nn_indices(Xf, Yf, alpha)                # (B, ntx)
+    sel = jnp.take_along_axis(Yf, nns[..., None], axis=1)  # (B, ntx, dim)
+    sel = sel.transpose(1, 0, 2).reshape(Xp.shape)
+    return fold_patches_3d(sel, x.shape[1:], strides)
+
+
+# ---------------------------------------------------------------------------
+# macro-block (low-memory) retarget (ref utils_vid.py:289-349)
+# ---------------------------------------------------------------------------
+
+def _macro_starts(size, macro, p, s):
+    """Crop starts.  The reference lets the last block be ragged
+    (truncated); we clamp the last start to (size - macro) instead so all
+    crops share one static shape — same coverage, slightly more overlap."""
+    stride = macro - p + s
+    starts = list(range(0, size - macro + stride, stride))
+    starts = [min(st, size - macro) for st in starts]
+    return sorted(set(starts))
+
+
+@functools.lru_cache(maxsize=64)
+def _lm_plan(shape_x_t, shape_y_t, h, w, psz, strides, macro):
+    """Static planning: fitted sizes, crop starts, total fold weight."""
+    (pt, p, _), (st, s, _) = psz, strides
+    macro = fit_patch_size(macro, p, s)
+    fit_h = fit_patch_size(h, p, s)
+    fit_w = fit_patch_size(w, p, s)
+    fit_tx = fit_patch_size(shape_x_t, pt, st)
+    macro = min(macro, fit_h, fit_w)
+    hs = _macro_starts(fit_h, macro, p, s)
+    ws = _macro_starts(fit_w, macro, p, s)
+    weight = np.zeros((fit_tx, fit_h, fit_w), np.float32)
+    w_crop = fold_weight((fit_tx, macro, macro), psz, strides)
+    for h0 in hs:
+        for w0 in ws:
+            weight[:, h0:h0 + macro, w0:w0 + macro] += w_crop
+    weight = np.clip(weight, 1e-10, None)
+    return macro, fit_tx, fit_h, fit_w, tuple(hs), tuple(ws), weight
+
+
+def gpnn_lowmem_retarget(x, y, patch_size=7, patcht_size=7, stride=2,
+                         stridet=2, alpha=None, macro_block=64):
+    """Macro-block NN retarget.  x: (C, Tx, H, W) render (loop-padded);
+    y: (C, Ty, H, W) ground truth.  Returns y2x (C, fit_tx, fit_h, fit_w)
+    already weight-normalized, and the fitted sizes."""
+    psz = (patcht_size, patch_size, patch_size)
+    strides = (stridet, stride, stride)
+    C, Tx, H, W = x.shape
+    macro, fit_tx, fit_h, fit_w, hs, ws, weight_np = _lm_plan(
+        Tx, y.shape[1], H, W, psz, strides, macro_block)
+    fit_ty = fit_patch_size(y.shape[1], patcht_size, stridet)
+    x = x[:, :fit_tx, :fit_h, :fit_w]
+    y = y[:, :fit_ty, :fit_h, :fit_w]
+
+    x_crops = jnp.stack([x[..., h0:h0 + macro, w0:w0 + macro]
+                         for h0 in hs for w0 in ws])
+    y_crops = jnp.stack([y[..., h0:h0 + macro, w0:w0 + macro]
+                         for h0 in hs for w0 in ws])
+
+    retarget = jax.vmap(
+        lambda xc, yc: nn_retarget(xc, yc, psz, strides, alpha))
+    y2x_crops = retarget(x_crops, y_crops)          # (Nc, C, fit_tx, mb, mb)
+
+    y2x = jnp.zeros((C, fit_tx, fit_h, fit_w), x.dtype)
+    ci = 0
+    for h0 in hs:
+        for w0 in ws:
+            y2x = y2x.at[..., h0:h0 + macro, w0:w0 + macro] \
+                .add(y2x_crops[ci])
+            ci += 1
+    y2x = y2x / jnp.asarray(weight_np)[None]
+    return y2x, (fit_tx, fit_h, fit_w)
+
+
+# ---------------------------------------------------------------------------
+# public loss functions (registry parity: ref MPV.py:131-138)
+# ---------------------------------------------------------------------------
+
+def _norm_alpha(alpha):
+    """alpha > 100 means 'disabled' (ref utils_vid.py:208)."""
+    if alpha is None or alpha > 100:
+        return None
+    return alpha
+
+
+def gpnn_lowmem_loss(x, y, *, patch_size=7, patcht_size=7, stride=2,
+                     stridet=2, alpha=1e10, rou=0, scaling=0.2,
+                     macro_block=64, **_):
+    """'gpnn_lm': the default stage-2 looping loss.  x: (C, Tx, H, W)
+    render (grad flows); y: (C, Ty, H, W) GT video.  The NN/fold target is
+    computed under stop_gradient — gradients only flow through
+    robust(x - y2x) (ref utils_vid.py:322-348 runs NN under no_grad)."""
+    y2x, (ft, fh, fw) = gpnn_lowmem_retarget(
+        jax.lax.stop_gradient(x), jax.lax.stop_gradient(y),
+        patch_size=patch_size, patcht_size=patcht_size, stride=stride,
+        stridet=stridet, alpha=_norm_alpha(alpha), macro_block=macro_block)
+    diff = x[:, :ft, :fh, :fw] - y2x
+    return jnp.mean(robust_lossfun(diff, rou, scaling))
+
+
+def gpnn_direct_loss(x, y, *, patch_size=7, patcht_size=7, stride=1,
+                     stridet=1, alpha=1e10, rou=0, scaling=0.2, **_):
+    """'gpnn': whole-patch NN without macro blocks
+    (ref utils_vid.py:265-287)."""
+    psz = (patcht_size, patch_size, patch_size)
+    strides = (stridet, stride, stride)
+    fh = fit_patch_size(x.shape[2], patch_size, stride)
+    fw = fit_patch_size(x.shape[3], patch_size, stride)
+    ft = fit_patch_size(x.shape[1], patcht_size, stridet)
+    fty = fit_patch_size(y.shape[1], patcht_size, stridet)
+    xs = jax.lax.stop_gradient(x)[:, :ft, :fh, :fw]
+    ys = jax.lax.stop_gradient(y)[:, :fty, :fh, :fw]
+    y2x = nn_retarget(xs, ys, psz, strides, _norm_alpha(alpha))
+    weight = jnp.asarray(
+        np.clip(fold_weight((ft, fh, fw), psz, strides), 1e-10, None))
+    y2x = y2x / weight[None]
+    diff = x[:, :ft, :fh, :fw] - y2x
+    return jnp.mean(robust_lossfun(diff, rou, scaling))
+
+
+def gpnn_downsample_loss(x, y, *, patch_size=7, patcht_size=7, stride=2,
+                         stridet=2, alpha=1e10, rou=0, scaling=0.2,
+                         macro_block=64, factor=1, **_):
+    """'gpnn_down': NN indices found on a bilinearly-downsampled video,
+    then applied to full-res patches (ref utils_vid.py:352-434).  With
+    factor == 1 it reduces to gpnn_lm."""
+    if factor <= 1:
+        return gpnn_lowmem_loss(
+            x, y, patch_size=patch_size, patcht_size=patcht_size,
+            stride=stride, stridet=stridet, alpha=alpha, rou=rou,
+            scaling=scaling, macro_block=macro_block)
+    C, Tx, H, W = x.shape
+    h_down, w_down = H // factor, W // factor
+    xs = jax.lax.stop_gradient(x)
+    ys = jax.lax.stop_gradient(y)
+    x_down = jax.image.resize(xs, (C, Tx, h_down, w_down), "linear")
+    y_down = jax.image.resize(ys, ys.shape[:2] + (h_down, w_down), "linear")
+    # NN at low res with stride*factor effective spacing at full res:
+    # the reference upsamples NN indices; equivalent up to the boundary
+    # rows, we search at low res and retarget full-res patches on the
+    # matching full-res grid (stride*factor).
+    psz = (patcht_size, patch_size * factor, patch_size * factor)
+    strides = (stridet, stride * factor, stride * factor)
+    psz_d = (patcht_size, patch_size, patch_size)
+    strides_d = (stridet, stride, stride)
+    ft = fit_patch_size(Tx, patcht_size, stridet)
+    fty = fit_patch_size(ys.shape[1], patcht_size, stridet)
+    fh_d = fit_patch_size(h_down, patch_size, stride)
+    fw_d = fit_patch_size(w_down, patch_size, stride)
+    fh, fw = fh_d * factor, fw_d * factor
+    Xp = extract_patches_3d(x_down[:, :ft, :fh_d, :fw_d], psz_d, strides_d)
+    Yp = extract_patches_3d(y_down[:, :fty, :fh_d, :fw_d], psz_d, strides_d)
+    ntx, nh, nw = Xp.shape[:3]
+    nty = Yp.shape[0]
+    dim = int(np.prod(Xp.shape[3:]))
+    nns = nn_indices(
+        Xp.reshape(ntx, nh * nw, dim).transpose(1, 0, 2),
+        Yp.reshape(nty, nh * nw, dim).transpose(1, 0, 2),
+        _norm_alpha(alpha))                               # (B, ntx)
+    # gather full-res patches at the upsampled grid
+    fh = min(fh, fit_patch_size(H, psz[1], strides[1]))
+    fw = min(fw, fit_patch_size(W, psz[2], strides[2]))
+    Xf = extract_patches_3d(xs[:, :ft, :fh, :fw], psz, strides)
+    Yf = extract_patches_3d(ys[:, :fty, :fh, :fw], psz, strides)
+    ntx2, nh2, nw2 = Xf.shape[:3]
+    dim2 = int(np.prod(Xf.shape[3:]))
+    nns = nns.reshape(nh, nw, ntx)[:nh2, :nw2].reshape(nh2 * nw2, ntx)
+    Yff = Yf.reshape(Yf.shape[0], nh2 * nw2, dim2).transpose(1, 0, 2)
+    sel = jnp.take_along_axis(Yff, nns[:, :ntx2, None], axis=1)
+    sel = sel.transpose(1, 0, 2).reshape(Xf.shape)
+    y2x = fold_patches_3d(sel, (ft, fh, fw), strides)
+    weight = jnp.asarray(
+        np.clip(fold_weight((ft, fh, fw), psz, strides), 1e-10, None))
+    y2x = y2x / weight[None]
+    diff = x[:, :ft, :fh, :fw] - y2x
+    return jnp.mean(robust_lossfun(diff, rou, scaling))
+
+
+def video_mse_loss(x, y, **_):
+    """'mse' (ref utils_vid.py:437-440)."""
+    f = min(x.shape[1], y.shape[1])
+    return jnp.mean((x[:, :f] - y[:, :f]) ** 2)
+
+
+def video_avg_loss(x, y, **_):
+    """'avg': match temporal means (ref utils_vid.py:443-445)."""
+    return jnp.mean((jnp.mean(x, axis=1) - jnp.mean(y, axis=1)) ** 2)
