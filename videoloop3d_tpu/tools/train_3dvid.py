@@ -1,0 +1,20 @@
+"""Stage-2 training CLI (counterpart of reference train_3dvid.py).
+
+    python -m videoloop3d_tpu.tools.train_3dvid --config <base> --config1 <scene>
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from videoloop3d_tpu.config import parse_args_with_configs
+from videoloop3d_tpu.train import stage2
+
+
+def main(argv=None):
+    args = parse_args_with_configs(argv)
+    np.random.seed(args.seed)
+    stage2.train(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,302 @@
+"""Stage-2 training: optimize the looping Multi-plane Tile Video.
+
+Parity: reference train_3dvid.py:69-344.  Host loop owns the resolution
+pyramid (lod + fresh optimizer + fresh dataset per level), per-view loss
+configs (reference views get the big-patch/high-gain config), adaptive
+learning rate (divided by dataset length), checkpoints and previews; the
+jitted step renders all frames of a patch, builds the GPNN retarget
+target under stop_gradient, and applies robust loss + regularizers.
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from videoloop3d_tpu.core import cameras
+from videoloop3d_tpu.data import llff
+from videoloop3d_tpu.data.patches import VideoPatchDataset
+from videoloop3d_tpu.data.video import to8b, write_video
+from videoloop3d_tpu.losses import patch_nn as pnl
+from videoloop3d_tpu.losses.swd import swd_3d_loss
+from videoloop3d_tpu.models import checkpoint as ckpt_io
+from videoloop3d_tpu.models.mpv import MPMeshVid
+from videoloop3d_tpu.train import common, optimizer as opt_lib
+
+LOSS_FNS = {
+    "gpnn": pnl.gpnn_direct_loss,
+    "gpnn_lm": pnl.gpnn_lowmem_loss,
+    "gpnn_down": pnl.gpnn_downsample_loss,
+    "mse": pnl.video_mse_loss,
+    "avg": pnl.video_avg_loss,
+}
+
+
+def loss_config_from_args(args, ref=False):
+    """The two per-view loss configs (ref train_3dvid.py:160-192)."""
+    sfx = "_ref" if ref else ""
+    cfg = {
+        "loss_name": getattr(args, f"loss_name{sfx}"),
+        "patch_size": getattr(args, f"swd_patch_size{sfx}"),
+        "patcht_size": getattr(args, f"swd_patcht_size{sfx}"),
+        "stride": getattr(args, f"swd_stride{sfx}"),
+        "stridet": getattr(args, f"swd_stridet{sfx}"),
+        "alpha": getattr(args, f"swd_alpha{sfx}"),
+        "rou": getattr(args, f"swd_rou{sfx}"),
+        "scaling": getattr(args, f"swd_scaling{sfx}"),
+        "dist_fn": getattr(args, f"swd_dist_fn{sfx}"),
+        "macro_block": args.swd_macro_block,
+        "factor": getattr(args, f"swd_factor{sfx}"),
+        "loss_gain": args.swd_loss_gain_ref if ref else 1.0,
+        "num_proj": args.swd_num_proj,
+    }
+    return cfg
+
+
+def pyramid_schedule(args, H, W):
+    """(factor, (h, w), num_epoch) per level (ref train_3dvid.py:103-120)."""
+    if args.pyr_minimal_dim < 0:
+        stages = ([int(s) for s in args.pyr_stage.split(",")]
+                  if args.pyr_stage else [])
+        stages = np.array([0] + stages + [args.N_iters])
+        epochs = (stages[1:] - stages[:-1]).tolist()
+        factors = [args.pyr_factor ** i
+                   for i in reversed(range(len(epochs)))]
+    else:
+        num = int(np.log(args.pyr_minimal_dim / min(H, W))
+                  / np.log(args.pyr_factor)) + 1
+        factors = [args.pyr_factor ** i for i in reversed(range(num))]
+        epochs = [args.pyr_num_epoch] * num
+    hw = [(int(H * f), int(W * f)) for f in factors]
+    return list(zip(factors, hw, epochs))
+
+
+def make_stage2_step(model: MPMeshVid, args, ph, pw, losscfg):
+    """Jitted step, specialized per (patch size, loss config, model
+    shapes)."""
+    opt_init, opt_update = opt_lib.make_optimizer(args.optimizer, eps=6e-8)
+    group_fn = opt_lib.make_group_fn(args.optimize_verts_gain)
+    cfg = dict(losscfg)
+    loss_name = cfg.pop("loss_name")
+    loss_gain = float(cfg.pop("loss_gain", 1.0))
+    cfg.pop("dist_fn", None)      # 'mse' only (the reference never flips it)
+    num_proj = cfg.pop("num_proj", 256)
+    pad_frames = (cfg["patcht_size"] - 1) if model.isloop else 0
+    ts = jnp.arange(model.frm_num)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, batch, lr, weights, rng):
+        def loss_fn(p):
+            rgb, variables = model.render(
+                p, ph, pw, batch["extrin"], batch["intrin"], ts,
+                training=True, rng=rng)
+            x = jnp.transpose(rgb, (3, 0, 1, 2))          # (3, F, h, w)
+            if pad_frames > 0:                            # loop closure pad
+                x = jnp.concatenate([x, x[:, :pad_frames]], axis=1)
+            if args.scale_invariant:
+                res_avg = jnp.mean(batch["video"], axis=0)    # (h, w, 3)
+                rgb_avg = jnp.mean(jax.lax.stop_gradient(rgb), axis=0)
+                gain = common.scale_invariant_gain(res_avg, rgb_avg)
+                x = x * gain
+            y = jnp.transpose(batch["video"], (3, 0, 1, 2))
+
+            if loss_name == "swd":
+                main = swd_3d_loss(x, y, rng, num_proj=num_proj, **cfg)
+            else:
+                main = LOSS_FNS[loss_name](x, y, **cfg)
+            main = main * loss_gain
+
+            extra = model.training_extras(variables, loss_gain)
+            total = main
+            metrics = {"swd": main}
+            for k, v in extra.items():
+                metrics[k] = v
+                total = total + weights[k] * v
+            metrics["loss"] = total
+            return total, metrics
+
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(params)
+        lr_tree = opt_lib.build_lr_tree(params, lr, group_fn)
+        new_params, new_opt = opt_update(params, grads, opt_state, lr_tree)
+        return new_params, new_opt, metrics
+
+    return step, opt_init
+
+
+def render_eval(model, params, h, w, extrin, intrin, ts_list, chunk=2):
+    """Chunked full-frame eval render (ref script_evaluate_ours.py:119)."""
+    @jax.jit
+    def fwd(p, e, i, ts):
+        rgb, _ = model.render(p, h, w, e, i, ts, training=False)
+        return rgb
+    frames = []
+    ts_list = np.asarray(ts_list)
+    for i in range(0, len(ts_list), chunk):
+        sel = ts_list[i:i + chunk]
+        pad = chunk - len(sel)
+        sel_p = np.concatenate([sel, np.repeat(sel[-1:], pad)]) if pad \
+            else sel
+        out = fwd(params, jnp.asarray(extrin), jnp.asarray(intrin),
+                  jnp.asarray(sel_p))
+        frames.append(np.asarray(out[:len(sel)]))
+    return np.concatenate(frames)
+
+
+def save_stage2_checkpoint(path, model, params, pyr_i, epoch,
+                           epoch_total, iter_total, factor, hw):
+    ckpt_io.save_checkpoint(
+        path, geom=model.geom, params=params, stage="mpv",
+        is_sparse=model.is_sparse, has_dyn=True,
+        tile_map_static=model.tile_map_static,
+        tile_map_dyn=model.tile_map_dyn, tile_hw=model.tile_hw,
+        frm_num=model.frm_num,
+        extra_meta={"epoch_i": epoch, "pyr_i": pyr_i,
+                    "epoch_total_step": epoch_total,
+                    "iter_total_step": iter_total,
+                    "train_factor": factor, "hw": list(hw),
+                    "base_tile_hw": list(model.base_tile_hw)
+                    if model.base_tile_hw else None,
+                    "rgb_mlp_type": model.cfg.rgb_mlp_type,
+                    "rgb_activate": model.cfg.rgb_activate,
+                    "alpha_activate": model.cfg.alpha_activate})
+
+
+def train(args, progress_cb=None):
+    """Full stage-2 loop.  Returns (model, params, rundir)."""
+    expname = args.expname + args.expname_postfix
+    datadir = os.path.join(args.prefix, args.datadir)
+    expdir = os.path.join(args.prefix, args.expdir)
+    rundir = os.path.join(expdir, expname)
+
+    videos, fps, scene = llff.load_mv_videos(
+        basedir=datadir, factor=args.factor,
+        bd_factor=(args.near_factor, args.far_factor), recenter=True)
+    H, W = scene["hw"]
+    poses, intrins, bds = scene["poses"], scene["intrins"], scene["bds"]
+    V = len(videos)
+
+    # test-view holdout (ref train_3dvid.py:89-96)
+    test_view = [int(t) for t in args.test_view_idx.split(",")] \
+        if args.test_view_idx else []
+    train_view = sorted(set(range(V)) - set(test_view))
+    videos = [videos[i] for i in train_view]
+    poses = poses[train_view]
+    intrins = intrins[train_view]
+
+    ref_pose = cameras.average_pose(poses)[:, :4]
+    ref_extrin = cameras.pose_to_extrinsic(ref_pose)
+    ref_intrin = intrins[0]
+    near, far = float(bds.min()), float(bds.max())
+
+    logger = common.MetricsLogger(rundir)
+    common.snapshot_run(expdir, expname, args)
+
+    model = MPMeshVid(args, H, W, ref_extrin, ref_intrin, near, far)
+    if args.init_from:
+        ckpt = ckpt_io.load_checkpoint(os.path.join(args.prefix,
+                                                    args.init_from))
+        params = model.init_from_stage1(ckpt)
+    else:
+        params = model.init_params(args.seed)
+
+    # per-view loss configs (ref train_3dvid.py:160-192)
+    cfg_other = loss_config_from_args(args, ref=False)
+    cfg_ref = loss_config_from_args(args, ref=True)
+    ref_idxs = [int(i) for i in args.loss_ref_idx.split(",")] \
+        if args.loss_ref_idx else []
+    loss_cfgs_all = [cfg_ref if v in ref_idxs else cfg_other
+                     for v in range(V)]
+    loss_cfgs = [loss_cfgs_all[i] for i in train_view]
+
+    weight_keys = ("sparsity", "rgb_smooth", "a_smooth", "d_smooth",
+                   "density")
+    weights = {k: jnp.asarray(common.extra_loss_weights(args, [k])[k],
+                              jnp.float32) for k in weight_keys}
+
+    np_rng = np.random.default_rng(args.seed)
+    key = jax.random.PRNGKey(args.seed)
+    schedule = pyramid_schedule(args, H, W)
+    print("[stage2] pyramid:", [(f"{f:.3f}", hw, n)
+                                for f, hw, n in schedule])
+
+    epoch_total = 0
+    iter_total = 0
+    metrics = {}
+    for pyr_i, (factor, hw, num_epoch) in enumerate(schedule):
+        params = model.lod(params, factor)
+        dataset = VideoPatchDataset(
+            hw, videos, (args.patch_h_size, args.patch_w_size),
+            (args.patch_h_stride, args.patch_w_stride), poses, intrins,
+            loss_cfgs)
+        ph, pw = dataset.patch_size
+        # one jitted step per distinct loss config (<= 2)
+        step_cache = {}
+        opt_state = None
+        for item_cfg in loss_cfgs:
+            k = repr(sorted(item_cfg.items()))
+            if k not in step_cache:
+                step_cache[k] = make_stage2_step(model, args, ph, pw,
+                                                 item_cfg)
+        opt_state = next(iter(step_cache.values()))[1](params)
+
+        for epoch in range(num_epoch):
+            for item in dataset.iter_epoch(np_rng, shuffle=True):
+                lr = opt_lib.lr_schedule(epoch, args.lrate,
+                                         decay_steps_k=args.lrate_decay)
+                if args.lrate_adaptive:
+                    lr = lr / len(dataset)
+                intrin = item["intrin"]
+                if args.add_intrin_noise:
+                    intrin = common.jitter_intrinsic(intrin, np_rng)
+                extrin = cameras.pose_to_extrinsic(item["pose"])
+                batch = {
+                    "extrin": jnp.asarray(extrin, jnp.float32)[None],
+                    "intrin": jnp.asarray(intrin, jnp.float32)[None],
+                    "video": jnp.asarray(item["video"]),
+                }
+                key, sub = jax.random.split(key)
+                step_fn = step_cache[repr(sorted(item["losscfg"].items()))][0]
+                params, opt_state, metrics = step_fn(
+                    params, opt_state, batch, jnp.asarray(lr, jnp.float32),
+                    weights, sub)
+                if (iter_total + 1) % args.i_img == 0:
+                    for k, v in metrics.items():
+                        logger.scalar(f"stage2/{k}", float(v), iter_total)
+                    logger.scalar("stage2/lr", lr, iter_total)
+                iter_total += 1
+
+            if metrics:
+                print(f"[stage2] l{pyr_i} epoch {epoch} "
+                      f"loss={float(metrics['loss']):.4f} "
+                      f"swd={float(metrics['swd']):.4f}")
+            if progress_cb is not None:
+                progress_cb(pyr_i, epoch, metrics)
+
+            if (epoch_total + 1) % args.i_weights == 0 \
+                    or (pyr_i == len(schedule) - 1
+                        and epoch == num_epoch - 1):
+                save_stage2_checkpoint(
+                    os.path.join(rundir,
+                                 f"ckpt_l{pyr_i}_epoch_{epoch:04d}.npz"),
+                    model, params, pyr_i, epoch, epoch_total, iter_total,
+                    factor, hw)
+
+            if (epoch_total + 1) % args.i_video == 0:
+                r_ext = cameras.pose_to_extrinsic(scene["render_poses"])
+                frames = []
+                for ri in range(min(len(r_ext), 2 * model.frm_num)):
+                    f = render_eval(model, params, H, W,
+                                    r_ext[ri:ri + 1],
+                                    scene["render_intrins"][ri:ri + 1],
+                                    [ri % model.frm_num], chunk=1)
+                    frames.append(f[0])
+                write_video(os.path.join(
+                    rundir, f"l{pyr_i}_{epoch:04d}_rgb.mp4"),
+                    to8b(np.stack(frames)), fps=fps)
+            epoch_total += 1
+
+    logger.close()
+    return model, params, rundir
