@@ -1,0 +1,168 @@
+"""Benchmark: stage-2 training step at the reference's production scale.
+
+Measures one full optimization iteration (render all frames of a training
+patch + GPNN looping loss + regularizers + Adam) on the hot
+configuration: 640x360 scene, 180x320 patch, 32 planes, 50-frame loop,
+sparse MTV with ~20% tiles kept, 'other-view' loss config
+(patch 3x3x3, stride 2, stridet 1, macro block 65) — the config used for
+~90% of reference stage-2 iterations.
+
+Baseline derivation (BASELINE.md: stage 2 takes 3-6 h/scene on an RTX
+3090): the shipped schedule is 6 pyramid levels x 50 epochs; for a
+10-view 640x360 scene that is ~10,000 iterations of which ~4,500 run at
+the finest level, accounting for ~half the pixel-weighted cost ->
+1.2-2.4 s per finest-level iteration; we use the midpoint 1800 ms.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": ..., "unit": "ms", "vs_baseline": ...}
+(vs_baseline > 1 means faster than the reference.)
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+BASELINE_STEP_MS = 1800.0
+
+
+def build_bench_setup(quick=False):
+    import jax.numpy as jnp
+    from videoloop3d_tpu.config import parse_args_with_configs
+    from videoloop3d_tpu.models.mpv import MPMeshVid
+
+    if quick:
+        H, W, F, D = 90, 160, 12, 8
+        verts_h, verts_w = 10, 17
+        ph, pw = 48, 80
+    else:
+        H, W, F, D = 360, 640, 50, 32
+        verts_h, verts_w = 36, 64
+        ph, pw = 180, 320
+
+    argv = ["--mpi_h_scale", "1.1", "--mpi_w_scale", "1.1",
+            "--mpi_h_verts", str(verts_h), "--mpi_w_verts", str(verts_w),
+            "--mpi_d", str(D), "--atlas_grid_h", "4" if not quick else "2",
+            "--mpv_frm_num", str(F), "--mpv_isloop",
+            "--scale_invariant", "--add_intrin_noise",
+            "--lrate", "0.5", "--lrate_decay", "100", "--lrate_adaptive",
+            "--rgb_smooth_loss_weight", "0.2",
+            "--a_smooth_loss_weight", "0.2"]
+    args = parse_args_with_configs(argv)
+
+    ref_extrin = np.eye(4, dtype=np.float32)
+    focal = 0.9 * W
+    ref_intrin = np.array([[focal, 0, W / 2], [0, focal, H / 2],
+                           [0, 0, 1]], np.float32)
+    near, far = 2.0, 10.0
+    model = MPMeshVid(args, H, W, ref_extrin, ref_intrin, near, far)
+
+    # synthesize a realistically sparse MTV: ~20% tiles kept, 30% dynamic
+    rng = np.random.default_rng(0)
+    g = model.geom
+    nth, ntw = g.n_tiles_h, g.n_tiles_w
+    n_total = g.n_planes * nth * ntw
+    keep = rng.random(n_total) < 0.20
+    dyn = keep & (rng.random(n_total) < 0.30)
+    static = keep & ~dyn
+    th, tw = g.default_tile_texels()
+    tm_s = np.full(n_total, -1, np.int32)
+    tm_s[static] = np.arange(static.sum())
+    tm_d = np.full(n_total, -1, np.int32)
+    tm_d[dyn] = np.arange(dyn.sum())
+    model.is_sparse = True
+    model.tile_map_static = tm_s.reshape(g.n_planes, nth, ntw)
+    model.tile_map_dyn = tm_d.reshape(g.n_planes, nth, ntw)
+    model.tile_hw = (th, tw)
+    model.base_tile_hw = (th, tw)
+
+    params = {
+        "atlas": jnp.asarray(
+            rng.random((int(static.sum()), th, tw, 4), dtype=np.float32)),
+        "atlas_dyn": jnp.asarray(
+            rng.random((int(dyn.sum()), th, tw, F, 4), dtype=np.float32)),
+    }
+
+    losscfg = {"loss_name": "gpnn_lm", "patch_size": 3, "patcht_size": 3,
+               "stride": 2, "stridet": 1, "alpha": 10000, "rou": "-2",
+               "scaling": 0.1, "macro_block": 65, "factor": 1,
+               "loss_gain": 1.0, "dist_fn": "mse", "num_proj": 256}
+
+    ext = np.eye(4, dtype=np.float32)
+    ext[0, 3] = 0.1
+    patch_intrin = ref_intrin.copy()
+    patch_intrin[0, 2] -= (W - pw) / 2
+    patch_intrin[1, 2] -= (H - ph) / 2
+    video = rng.random((F, ph, pw, 3), dtype=np.float32)
+    batch = {"extrin": jnp.asarray(ext)[None],
+             "intrin": jnp.asarray(patch_intrin)[None],
+             "video": jnp.asarray(video)}
+    info = {"tiles_static": int(static.sum()), "tiles_dyn": int(dyn.sum()),
+            "tile_hw": (th, tw), "patch": (ph, pw), "frames": F,
+            "planes": D}
+    return model, args, params, batch, losscfg, (ph, pw), info
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--verbose", action="store_true")
+    opts = ap.parse_args()
+
+    if opts.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    if opts.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from videoloop3d_tpu.train.stage2 import make_stage2_step
+
+    model, args, params, batch, losscfg, (ph, pw), info = \
+        build_bench_setup(opts.quick)
+    if opts.verbose:
+        print("setup:", info, file=sys.stderr)
+        print("devices:", jax.devices(), file=sys.stderr)
+
+    step, opt_init = make_stage2_step(model, args, ph, pw, losscfg)
+    opt_state = opt_init(params)
+    weights = {k: jnp.asarray(0.2, jnp.float32)
+               for k in ("sparsity", "rgb_smooth", "a_smooth", "d_smooth",
+                         "density")}
+    rng = jax.random.PRNGKey(0)
+
+    # compile + warmup
+    t0 = time.perf_counter()
+    params, opt_state, m = step(params, opt_state, batch,
+                                jnp.asarray(0.01), weights, rng)
+    jax.block_until_ready((params, opt_state, m))
+    compile_s = time.perf_counter() - t0
+    params, opt_state, m = step(params, opt_state, batch,
+                                jnp.asarray(0.01), weights, rng)
+    jax.block_until_ready((params, opt_state, m))
+
+    times = []
+    for i in range(opts.iters):
+        t0 = time.perf_counter()
+        params, opt_state, m = step(params, opt_state, batch,
+                                    jnp.asarray(0.01), weights, rng)
+        jax.block_until_ready((params, opt_state, m))
+        times.append(time.perf_counter() - t0)
+    step_ms = float(np.median(times) * 1000)
+    if opts.verbose:
+        print(f"compile {compile_s:.1f}s, times {times}", file=sys.stderr)
+
+    metric = "stage2_step_time_quick" if opts.quick else "stage2_step_time"
+    vs = BASELINE_STEP_MS / step_ms if not opts.quick else float("nan")
+    print(json.dumps({"metric": metric, "value": round(step_ms, 2),
+                      "unit": "ms",
+                      "vs_baseline": round(vs, 3) if vs == vs else None}))
+
+
+if __name__ == "__main__":
+    main()

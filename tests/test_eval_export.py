@@ -1,0 +1,129 @@
+import json
+import os
+
+import numpy as np
+
+from videoloop3d_tpu.eval import metrics as M
+from videoloop3d_tpu.eval import nnmse as NN
+
+
+def test_psnr_matches_closed_form():
+    rng = np.random.default_rng(0)
+    a = rng.random((1, 16, 20, 3)).astype(np.float32)
+    b = np.clip(a + 0.1, 0, 1)
+    v = M.compute_img_metric(a, b, "psnr")
+    # mse on [-1,1] scale is 4x [0,1]-scale -> psnr identical to [0,1]
+    mse = np.mean((a - b) ** 2)
+    assert np.isclose(v, 10 * np.log10(1.0 / mse), atol=0.05)
+
+
+def test_masked_psnr_correction():
+    rng = np.random.default_rng(1)
+    a = rng.random((1, 16, 20, 3)).astype(np.float32)
+    b = a.copy()
+    # corrupt only the masked-OUT half -> masked psnr should be huge
+    b[:, :, :10] += 0.5
+    mask = np.zeros((1, 16, 20), np.float32)
+    mask[:, :, 10:] = 1
+    v = M.compute_img_metric(a, b, "psnr", mask)
+    assert v > 60
+
+
+def test_ssim_identity_and_range():
+    rng = np.random.default_rng(2)
+    a = rng.random((1, 24, 24, 3)).astype(np.float32)
+    v_same = M.compute_img_metric(a, a, "ssim")
+    assert v_same > 0.99
+    b = rng.random((1, 24, 24, 3)).astype(np.float32)
+    v_diff = M.compute_img_metric(a, b, "ssim")
+    assert v_diff < v_same
+
+
+def test_ssim_matches_skimage_formula_on_constant_shift():
+    a = np.zeros((1, 16, 16, 3), np.float32) + 0.5
+    b = a + 0.1
+    v = M.compute_img_metric(a, b, "ssim", range01=True)
+    # constant images: structure term 1, luminance term analytic
+    ux, uy = 0.0, 0.2         # after *2-1 mapping
+    C1 = (0.01 * 2) ** 2
+    want = (2 * ux * uy + C1) / (ux ** 2 + uy ** 2 + C1)
+    assert np.isclose(v, want, atol=1e-4)
+
+
+def test_dynamics_error():
+    rng = np.random.default_rng(3)
+    static = np.repeat(rng.random((1, 8, 8, 3)) * 255, 6, axis=0)
+    moving = static + rng.normal(0, 20, (6, 8, 8, 3))
+    assert M.dynamics_error(static, static) == 0
+    assert M.dynamics_error(static, moving) > 1
+
+
+def test_nnmse_zero_for_identical_and_positive_otherwise():
+    rng = np.random.default_rng(4)
+    v = rng.random((3, 6, 24, 24)).astype(np.float32)
+    w = rng.random((3, 6, 24, 24)).astype(np.float32)
+    assert NN.compute_nnerr(v, v, 3, 2, 3, 1, macro_block=17) < 1e-6
+    assert NN.compute_nnerr(v, w, 3, 2, 3, 1, macro_block=17) > 0.01
+
+
+def test_loop_quality_perfect_loop():
+    """A perfectly looping prediction whose seam window exists in gt
+    scores ~0."""
+    rng = np.random.default_rng(5)
+    base = rng.random((3, 8, 16, 16)).astype(np.float32)
+    pred = base
+    gt = np.concatenate([base, base[:, :4]], axis=1)   # gt contains wrap
+    q = NN.loop_quality(pred, gt, 3, 2, 3, 1, macro_block=17)
+    assert q < 1e-5, q
+
+
+def test_export_roundtrip(tmp_path):
+    from videoloop3d_tpu.export import mesh_export as EX
+    from videoloop3d_tpu.export.objio import load_obj
+    from videoloop3d_tpu.models.geometry import MPIGeometry
+
+    km = np.array([[20.0, 0, 16], [0, 20, 12], [0, 0, 1]])
+    geom = MPIGeometry(
+        n_planes=2, mpi_h=25, mpi_w=31, n_tiles_h=2, n_tiles_w=3,
+        near=1.5, far=6.0, depths=(5.0, 2.0),
+        ref_intrin_mpi=tuple(tuple(float(v) for v in r) for r in km),
+        ref_extrin=tuple(tuple(float(v) for v in r) for r in np.eye(4)))
+    rng = np.random.default_rng(0)
+    n_tiles = 2 * 2 * 3
+    flat = np.arange(n_tiles)
+    tm_s = np.where(flat % 2 == 0, -1, flat)
+    tm_d = np.where(flat % 2 == 0, flat, -1)
+    pack_s = np.full(n_tiles, -1, np.int32)
+    pack_s[tm_s >= 0] = np.arange((tm_s >= 0).sum())
+    pack_d = np.full(n_tiles, -1, np.int32)
+    pack_d[tm_d >= 0] = np.arange((tm_d >= 0).sum())
+    th, tw = 5, 6
+    F = 3
+    params = {
+        "atlas": rng.random(((tm_s >= 0).sum(), th, tw, 4),
+                            dtype=np.float32),
+        "atlas_dyn": rng.random(((tm_d >= 0).sum(), th, tw, F, 4),
+                                dtype=np.float32),
+    }
+    meta = {"fov": 60.0, "near": 1.5, "far": 6.0, "up": [0, -1, 0],
+            "lookat": [0, 0, 3.0], "limit": [1, 1, 1]}
+    outdir = EX.export_mtv(str(tmp_path / "mesh"), geom, params,
+                           pack_s.reshape(2, 2, 3), pack_d.reshape(2, 2, 3),
+                           meta)
+    assert os.path.exists(os.path.join(outdir, "geometry.obj"))
+    assert os.path.exists(os.path.join(outdir, "static.png"))
+    for i in range(F):
+        assert os.path.exists(os.path.join(outdir, "dynamic",
+                                           f"{i:04d}.png"))
+    j = json.load(open(os.path.join(outdir, "meta.json")))
+    assert j["frame_count"] == F and j["fov"] == 60.0
+
+    verts, uvs, faces, uvfaces = load_obj(
+        os.path.join(outdir, "geometry.obj"))
+    n_kept = (tm_s >= 0).sum() + (tm_d >= 0).sum()
+    assert len(faces) == 2 * n_kept
+    # painter's order: face depth non-increasing
+    depth = verts[faces[:, 0]][:, 2]
+    assert np.all(np.diff(depth) <= 1e-6)
+    # vertex colors present (x y z r g b)
+    assert verts.shape[1] == 6

@@ -96,7 +96,7 @@ def test_stage2_full_pipeline_sparse(tmp_path):
     model, params, rundir = stage2.train(
         args, progress_cb=lambda p, e, m: losses.append(float(m["loss"])))
     assert model.is_sparse
-    assert params["atlas_dyn"].ndim == 5        # (F, Nd, th, tw, 4)
+    assert params["atlas_dyn"].ndim == 5        # (Nd, th, tw, F, 4)
     assert losses[-1] < losses[0] * 1.5         # not diverging
     from videoloop3d_tpu.models import checkpoint as ckpt_io
     ckpts = sorted(f for f in os.listdir(rundir) if "ckpt" in f)

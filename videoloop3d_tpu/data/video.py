@@ -51,16 +51,24 @@ def read_fps(path, default=25):
 
 
 def write_video(path, frames, fps=25, quality=8):
-    """frames: (F, H, W, 3) uint8."""
+    """frames: (F, H, W, 3) uint8.  Falls back to a PNG sequence when no
+    mp4 encoder backend is available (this image ships imageio without
+    ffmpeg/pyav)."""
     frames = np.asarray(frames)
     if path.endswith(".npy"):
         np.save(path, frames)
         return
-    if not _HAS_IMAGEIO:                             # pragma: no cover
-        np.save(path + ".npy", frames)
-        return
-    imageio.mimwrite(path, frames, fps=fps, quality=quality,
-                     macro_block_size=1)
+    if _HAS_IMAGEIO:
+        try:
+            imageio.mimwrite(path, frames, fps=fps, quality=quality,
+                             macro_block_size=1)
+            return
+        except Exception:
+            pass
+    framedir = os.path.splitext(path)[0] + "_frames"
+    os.makedirs(framedir, exist_ok=True)
+    for i, f in enumerate(frames):
+        write_image(os.path.join(framedir, f"{i:04d}.png"), f)
 
 
 def write_image(path, img):

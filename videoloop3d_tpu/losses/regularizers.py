@@ -13,20 +13,20 @@ import math
 import jax.numpy as jnp
 
 
-def sparsity_loss(alpha, n_planes, eps=1e-6):
-    """L1/L2 ratio of per-pixel alpha stacks. alpha: (..., D, H, W) with the
-    plane axis at -3.  (ref MPI.py:603-607)."""
-    l1 = jnp.sum(jnp.abs(alpha), axis=-3)
-    l2 = jnp.clip(jnp.sqrt(jnp.sum(alpha * alpha, axis=-3)), eps, None)
+def sparsity_loss(alpha, n_planes, eps=1e-6, plane_axis=-3):
+    """L1/L2 ratio of per-pixel alpha stacks along the plane axis.
+    (ref MPI.py:603-607)."""
+    l1 = jnp.sum(jnp.abs(alpha), axis=plane_axis)
+    l2 = jnp.clip(jnp.sqrt(jnp.sum(alpha * alpha, axis=plane_axis)),
+                  eps, None)
     return jnp.mean(l1 / l2) / math.sqrt(n_planes)
 
 
-def content_smooth_loss(x):
-    """Mean |spatial gradient| of per-plane content.
-    x: (..., D, H, W, C) — always channel-last (use a singleton channel for
-    alpha).  Diffs over the H and W axes.  (ref MPI.py:609-623)."""
-    dx = jnp.mean(jnp.abs(jnp.diff(x, axis=-2)))
-    dy = jnp.mean(jnp.abs(jnp.diff(x, axis=-3)))
+def content_smooth_loss(x, h_axis=-3, w_axis=-2):
+    """Mean |spatial gradient| of per-plane content over the given H/W
+    axes (default layout (..., D, H, W, C)).  (ref MPI.py:609-623)."""
+    dx = jnp.mean(jnp.abs(jnp.diff(x, axis=w_axis)))
+    dy = jnp.mean(jnp.abs(jnp.diff(x, axis=h_axis)))
     return dx + dy
 
 

@@ -50,12 +50,19 @@ class MPMeshVid:
         self.dtype = jnp.bfloat16 if args.fp16 else jnp.float32
 
     # ------------------------------------------------------------------
+    # Dynamic-atlas layout: TILE-MAJOR with a trailing frame axis —
+    #   sparse: (Nd, th, tw, F, 4);  dense: (D, Ht, Wt, F, 4).
+    # One texel holds all frames contiguously, so the renderer's bilinear
+    # gather reads lane-aligned F*C-wide rows (see
+    # render/sample.py:bilinear_tiles_tilemajor) — ~5x end-to-end step
+    # speedup on v5e vs a frame-major stack.
+    # ------------------------------------------------------------------
     def init_params(self, seed=0):
         """Scratch init (dense): ref MPV.py:83-110."""
         g = self.base_geom
         rng = np.random.default_rng(seed)
         dyn = rng.standard_normal(
-            (self.frm_num, g.n_planes, g.mpi_h, g.mpi_w, 4)) * self.init_std
+            (g.n_planes, g.mpi_h, g.mpi_w, self.frm_num, 4)) * self.init_std
         dyn = dyn.astype(np.float32)
         if self.cfg.rgb_mlp_type == "direct":
             dyn[..., -1] = -2.0
@@ -80,14 +87,15 @@ class MPMeshVid:
             self.tile_hw = tuple(meta["tile_hw"])
             self.base_tile_hw = self.tile_hw
             dyn = np.broadcast_to(
-                p["atlas_dyn"][None],
-                (self.frm_num,) + p["atlas_dyn"].shape).copy()
+                p["atlas_dyn"][..., None, :],
+                p["atlas_dyn"].shape[:-1] + (self.frm_num, 4)).copy()
             params = {"atlas": jnp.asarray(p["atlas"], self.dtype),
                       "atlas_dyn": jnp.asarray(dyn, self.dtype)}
         else:
             self.is_sparse = False
             dyn = np.broadcast_to(
-                p["atlas"][None], (self.frm_num,) + p["atlas"].shape).copy()
+                p["atlas"][..., None, :],
+                p["atlas"].shape[:-1] + (self.frm_num, 4)).copy()
             params = {"atlas": jnp.zeros((0, 1, 1, 4), self.dtype),
                       "atlas_dyn": jnp.asarray(dyn, self.dtype)}
         if "verts" in p:
@@ -105,13 +113,18 @@ class MPMeshVid:
             if (nth, ntw) == self.tile_hw:
                 return params
             out = dict(params)
-            for key in ("atlas", "atlas_dyn"):
-                t = params[key]
-                if t.shape[-4] == 0 and t.ndim == 4:
-                    continue
-                shape = t.shape[:-3] + (nth, ntw, t.shape[-1])
-                out[key] = jax.image.resize(
-                    t.astype(jnp.float32), shape, "linear").astype(t.dtype)
+            st = params["atlas"]
+            if st.shape[0] > 0:
+                out["atlas"] = jax.image.resize(
+                    st.astype(jnp.float32),
+                    (st.shape[0], nth, ntw, st.shape[-1]),
+                    "linear").astype(st.dtype)
+            dy = params["atlas_dyn"]
+            if dy.shape[0] > 0:
+                out["atlas_dyn"] = jax.image.resize(
+                    dy.astype(jnp.float32),
+                    (dy.shape[0], nth, ntw) + dy.shape[3:],
+                    "linear").astype(dy.dtype)
             self.tile_hw = (nth, ntw)
             return out
         # dense phase
@@ -121,9 +134,9 @@ class MPMeshVid:
             return params
         out = dict(params)
         t = params["atlas_dyn"]
-        shape = t.shape[:-3] + (nh, nw, t.shape[-1])
         out["atlas_dyn"] = jax.image.resize(
-            t.astype(jnp.float32), shape, "linear").astype(t.dtype)
+            t.astype(jnp.float32), (t.shape[0], nh, nw) + t.shape[3:],
+            "linear").astype(t.dtype)
         self.geom = self.base_geom.scaled(nh, nw)
         return out
 
@@ -133,7 +146,10 @@ class MPMeshVid:
         """Render frames `ts` from one view (B must be 1, like the
         reference's raster path, MPV.py:388 'batching not supported').
 
-        Returns (rgb (F, h, w, 3), variables).  Parity: MPV.py:351-475.
+        All per-plane stacks live in (D, h, w, F[, C]) layout — the frame
+        axis stays minor so the tile-major gathers and every elementwise
+        op are lane-aligned; only the final composited image is
+        transposed to (F, h, w, 3).  Parity: MPV.py:351-475.
         """
         cfg = self.cfg
         coords = R.warp_coordinates(self.geom, extrins, intrins, h, w)
@@ -144,8 +160,10 @@ class MPMeshVid:
 
         act_rgb = ACTIVATIONS[cfg.rgb_activate]
         act_a = ACTIVATIONS[cfg.alpha_activate]
+        valid0 = coords.valid[0]                       # (D, h, w)
 
         def decode(feats, valid):
+            """feats (..., C); valid broadcastable to feats[..., 0]."""
             rgba = decode_rgba(feats.astype(jnp.float32),
                                cfg.rgb_mlp_type, None)
             rgb = act_rgb(rgba[..., :-1]) * valid[..., None]
@@ -153,68 +171,94 @@ class MPMeshVid:
             return rgb, alpha
 
         if self.is_sparse:
+            from videoloop3d_tpu.render.sample import \
+                bilinear_tiles_tilemajor
             k_s, fu, fv = R.tile_lookup(
                 self.geom, jnp.asarray(self.tile_map_static), sample_coords)
             k_d, _, _ = R.tile_lookup(
                 self.geom, jnp.asarray(self.tile_map_dyn), sample_coords)
-            vals_s, hit_s = R.sample_sparse(params["atlas"], k_s, fu, fv)
-            dyn_tiles = params["atlas_dyn"][ts]        # (F, Nd, th, tw, 4)
-            vals_d, hit_d = R.sample_sparse_video(dyn_tiles, k_d, fu, fv)
-            rgb_s, alpha_s = decode(vals_s, coords.valid & hit_s)
-            rgb_d, alpha_d = decode(vals_d[:, 0],
-                                    (coords.valid & hit_d)[0])
-            # (F, D, h, w, .) frame stacks; static broadcasts over frames
-            hd = hit_d[0][None, ..., None]
-            rgb_p = jnp.where(hd, rgb_d, rgb_s[0][None])
-            alpha_p = jnp.where(hd[..., 0], alpha_d, alpha_s[0][None])
+            vals_s, hit_s = R.sample_sparse(params["atlas"],
+                                            k_s, fu, fv)
+            dyn = params["atlas_dyn"]                  # (Nd, th, tw, F, 4)
+            if ts is not None:                         # None = all frames
+                dyn = dyn[..., ts, :]
+            th, tw = dyn.shape[1], dyn.shape[2]
+            vals_d, hit_d = bilinear_tiles_tilemajor(
+                dyn, k_d[0], fu[0] * (tw - 1), fv[0] * (th - 1))
+            rgb_s, alpha_s = decode(vals_s[0], valid0 & hit_s[0])
+            rgb_d, alpha_d = decode(vals_d, (valid0 & hit_d)[..., None])
+            # (D, h, w, F, .) stacks; static broadcasts over the F axis
+            hd = hit_d[..., None, None]                # (D, h, w, 1, 1)
+            rgb_p = jnp.where(hd, rgb_d, rgb_s[..., None, :])
+            alpha_p = jnp.where(hd[..., 0], alpha_d, alpha_s[..., None])
         else:
-            dyn = params["atlas_dyn"][ts]              # (F, D, Ht, Wt, 4)
-            vals = jax.vmap(
-                lambda a: R.sample_dense(a, sample_coords))(dyn)
-            rgb_p, alpha_p = decode(vals[:, 0], coords.valid[0][None])
+            from videoloop3d_tpu.render.sample import \
+                bilinear_planes_tilemajor
+            dyn = params["atlas_dyn"]                  # (D, Ht, Wt, F, 4)
+            if ts is not None:
+                dyn = dyn[..., ts, :]
+            D = dyn.shape[0]
+            xs = sample_coords.x[0].reshape(D, -1)
+            ys = sample_coords.y[0].reshape(D, -1)
+            vals, _ = bilinear_planes_tilemajor(dyn, xs, ys)
+            vals = vals.reshape((D, h, w) + vals.shape[-2:])
+            rgb_p, alpha_p = decode(vals, valid0[..., None])
 
-        out_rgb, bw = R.composite_planes(alpha_p, rgb_p)
-        alpha_sum = jnp.sum(bw, axis=1)
+        # composite over planes (axis 0, stored far->near => flip first)
+        a = jnp.flip(alpha_p, axis=0)                  # (D, h, w, F)
+        c = jnp.flip(rgb_p, axis=0)
+        trans = jnp.cumprod(1.0 - a, axis=0)
+        trans = jnp.concatenate(
+            [jnp.ones_like(trans[:1]), trans[:-1]], axis=0)
+        bw = a * trans                                 # (D, h, w, F)
+        out = jnp.sum(c * bw[..., None], axis=0)       # (h, w, F, 3)
+        alpha_sum = jnp.sum(bw, axis=0)                # (h, w, F)
+
         bg = None
         if cfg.bg_color:
             from videoloop3d_tpu.models.mpmesh import parse_bg_color
             bg = parse_bg_color(cfg.bg_color, rng)
-        out_rgb = R.apply_background(out_rgb, alpha_sum, bg)
+        if bg is not None:
+            out = out * alpha_sum[..., None] \
+                + bg * (1.0 - alpha_sum[..., None])
 
         disp = None
         if cfg.d_smooth_on:
-            # stage 2 uses raw reciprocal depth (MPV.py:386), frame axis
-            # as batch
-            z = jnp.where(coords.valid, coords.zview, 1.0)[0]
-            d = jnp.where(coords.valid[0], 1.0 / z, 0.0)
-            disp = jnp.sum(d[None] * bw, axis=1)
+            # stage 2 uses raw reciprocal depth (MPV.py:386)
+            z = jnp.where(valid0, coords.zview[0], 1.0)
+            d = jnp.where(valid0, 1.0 / z, 0.0)
+            disp = jnp.sum(jnp.flip(d, axis=0)[..., None] * bw, axis=0)
 
+        out_rgb = jnp.moveaxis(out, 2, 0)              # (F, h, w, 3)
         variables = {
-            "alpha_planes": alpha_p,       # (F, D, h, w)
-            "rgb_planes": rgb_p,
-            "blend_weight": bw,
-            "alpha": alpha_sum,
-            "disp": disp,
+            "alpha_planes": alpha_p,       # (D, h, w, F)
+            "rgb_planes": rgb_p,           # (D, h, w, F, 3)
+            "blend_weight": bw,            # (D, h, w, F), near-first
+            "alpha": alpha_sum,            # (h, w, F)
+            "disp": disp,                  # (h, w, F) or None
         }
         return out_rgb, variables
 
     # ------------------------------------------------------------------
     def training_extras(self, variables, loss_gain=1.0):
-        """Regularizer terms (ref MPV.py:511-551)."""
+        """Regularizer terms (ref MPV.py:511-551) on the (D, h, w, F[,C])
+        stacks."""
         cfg = self.cfg
         extra = {}
-        a = variables["alpha_planes"]
+        a = variables["alpha_planes"]                  # (D, h, w, F)
         if cfg.sparsity_on:
             extra["sparsity"] = regs.sparsity_loss(
-                a, self.geom.n_planes, eps=1e-4) * loss_gain
+                a, self.geom.n_planes, eps=1e-4, plane_axis=0) * loss_gain
         if cfg.rgb_smooth_on:
             extra["rgb_smooth"] = regs.content_smooth_loss(
-                variables["rgb_planes"]) * loss_gain
+                variables["rgb_planes"], h_axis=1, w_axis=2) * loss_gain
         if cfg.a_smooth_on:
             extra["a_smooth"] = regs.content_smooth_loss(
-                a[..., None]) * loss_gain
+                a[..., None], h_axis=1, w_axis=2) * loss_gain
         if cfg.density_on:
             extra["density"] = regs.density_loss(variables["alpha"])
         if cfg.d_smooth_on and variables["disp"] is not None:
-            extra["d_smooth"] = regs.depth_smooth_loss(variables["disp"])
+            # (h, w, F) -> frame-major (F, h, w) expected by the reg
+            disp = jnp.moveaxis(variables["disp"], 2, 0)
+            extra["d_smooth"] = regs.depth_smooth_loss(disp)
         return extra

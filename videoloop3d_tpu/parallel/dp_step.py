@@ -1,0 +1,58 @@
+"""Data-parallel stage-2 training step (patch batch over the 'dp' axis).
+
+Each device owns one training patch; parameters are replicated; per-patch
+gradients are psum-averaged over ICI before a replicated Adam update —
+real DP, unlike the reference's inert single-GPU `nn.DataParallel`
+(train_3dvid.py:151).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from videoloop3d_tpu.train import optimizer as opt_lib
+from videoloop3d_tpu.train.stage2 import make_patch_loss_fn
+
+
+def make_dp_stage2_step(model, args, ph, pw, losscfg, mesh):
+    """Returns (step, opt_init).  Batch arrays carry a leading axis of
+    size mesh.shape['dp'] and are sharded over 'dp'; params/opt state are
+    replicated."""
+    opt_init, opt_update = opt_lib.make_optimizer(args.optimizer, eps=6e-8)
+    group_fn = opt_lib.make_group_fn(args.optimize_verts_gain)
+    loss_fn = make_patch_loss_fn(model, args, ph, pw, losscfg)
+
+    batch_spec = {"extrin": P("dp"), "intrin": P("dp"), "video": P("dp")}
+
+    def sharded_step(params, opt_state, batch, lr, weights, rng):
+        # per-device slices keep a leading axis of 1: extrin/intrin stay
+        # (1,3/4,..) = the single-view shape render expects; the video
+        # drops it ((F, ph, pw, 3) per patch).
+        local = {"extrin": batch["extrin"],
+                 "intrin": batch["intrin"],
+                 "video": batch["video"][0]}
+        my_rng = jax.random.fold_in(rng, jax.lax.axis_index("dp"))
+        grads, metrics = jax.grad(
+            lambda p: loss_fn(p, local, weights, my_rng),
+            has_aux=True)(params)
+        grads = jax.lax.pmean(grads, "dp")
+        metrics = jax.lax.pmean(metrics, "dp")
+        lr_tree = opt_lib.build_lr_tree(params, lr, group_fn)
+        new_params, new_opt = opt_update(params, grads, opt_state, lr_tree)
+        return new_params, new_opt, metrics
+
+    mapped = shard_map(
+        sharded_step, mesh=mesh,
+        in_specs=(P(), P(), batch_spec, P(), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, batch, lr, weights, rng):
+        return mapped(params, opt_state, batch, lr, weights, rng)
+
+    return step, opt_init

@@ -74,51 +74,61 @@ def pyramid_schedule(args, H, W):
     return list(zip(factors, hw, epochs))
 
 
-def make_stage2_step(model: MPMeshVid, args, ph, pw, losscfg):
-    """Jitted step, specialized per (patch size, loss config, model
-    shapes)."""
-    opt_init, opt_update = opt_lib.make_optimizer(args.optimizer, eps=6e-8)
-    group_fn = opt_lib.make_group_fn(args.optimize_verts_gain)
+def make_patch_loss_fn(model: MPMeshVid, args, ph, pw, losscfg):
+    """(params, batch, weights, rng) -> (total_loss, metrics) for ONE
+    patch.  Shared by the single-device step and the sharded steps in
+    videoloop3d_tpu.parallel."""
     cfg = dict(losscfg)
     loss_name = cfg.pop("loss_name")
     loss_gain = float(cfg.pop("loss_gain", 1.0))
     cfg.pop("dist_fn", None)      # 'mse' only (the reference never flips it)
     num_proj = cfg.pop("num_proj", 256)
     pad_frames = (cfg["patcht_size"] - 1) if model.isloop else 0
-    ts = jnp.arange(model.frm_num)
+    ts = None      # train on all frames; None skips the frame gather
+
+    def loss_fn(p, batch, weights, rng):
+        rgb, variables = model.render(
+            p, ph, pw, batch["extrin"], batch["intrin"], ts,
+            training=True, rng=rng)
+        x = jnp.transpose(rgb, (3, 0, 1, 2))          # (3, F, h, w)
+        if pad_frames > 0:                            # loop closure pad
+            x = jnp.concatenate([x, x[:, :pad_frames]], axis=1)
+        if args.scale_invariant:
+            res_avg = jnp.mean(batch["video"], axis=0)    # (h, w, 3)
+            rgb_avg = jnp.mean(jax.lax.stop_gradient(rgb), axis=0)
+            gain = common.scale_invariant_gain(res_avg, rgb_avg)
+            x = x * gain
+        y = jnp.transpose(batch["video"], (3, 0, 1, 2))
+
+        if loss_name == "swd":
+            main = swd_3d_loss(x, y, rng, num_proj=num_proj, **cfg)
+        else:
+            main = LOSS_FNS[loss_name](x, y, **cfg)
+        main = main * loss_gain
+
+        extra = model.training_extras(variables, loss_gain)
+        total = main
+        metrics = {"swd": main}
+        for k, v in extra.items():
+            metrics[k] = v
+            total = total + weights[k] * v
+        metrics["loss"] = total
+        return total, metrics
+
+    return loss_fn
+
+
+def make_stage2_step(model: MPMeshVid, args, ph, pw, losscfg):
+    """Jitted step, specialized per (patch size, loss config, model
+    shapes)."""
+    opt_init, opt_update = opt_lib.make_optimizer(args.optimizer, eps=6e-8)
+    group_fn = opt_lib.make_group_fn(args.optimize_verts_gain)
+    loss_fn = make_patch_loss_fn(model, args, ph, pw, losscfg)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, batch, lr, weights, rng):
-        def loss_fn(p):
-            rgb, variables = model.render(
-                p, ph, pw, batch["extrin"], batch["intrin"], ts,
-                training=True, rng=rng)
-            x = jnp.transpose(rgb, (3, 0, 1, 2))          # (3, F, h, w)
-            if pad_frames > 0:                            # loop closure pad
-                x = jnp.concatenate([x, x[:, :pad_frames]], axis=1)
-            if args.scale_invariant:
-                res_avg = jnp.mean(batch["video"], axis=0)    # (h, w, 3)
-                rgb_avg = jnp.mean(jax.lax.stop_gradient(rgb), axis=0)
-                gain = common.scale_invariant_gain(res_avg, rgb_avg)
-                x = x * gain
-            y = jnp.transpose(batch["video"], (3, 0, 1, 2))
-
-            if loss_name == "swd":
-                main = swd_3d_loss(x, y, rng, num_proj=num_proj, **cfg)
-            else:
-                main = LOSS_FNS[loss_name](x, y, **cfg)
-            main = main * loss_gain
-
-            extra = model.training_extras(variables, loss_gain)
-            total = main
-            metrics = {"swd": main}
-            for k, v in extra.items():
-                metrics[k] = v
-                total = total + weights[k] * v
-            metrics["loss"] = total
-            return total, metrics
-
-        grads, metrics = jax.grad(loss_fn, has_aux=True)(params)
+        grads, metrics = jax.grad(
+            lambda p: loss_fn(p, batch, weights, rng), has_aux=True)(params)
         lr_tree = opt_lib.build_lr_tree(params, lr, group_fn)
         new_params, new_opt = opt_update(params, grads, opt_state, lr_tree)
         return new_params, new_opt, metrics
