@@ -1,0 +1,116 @@
+"""Frame-parallel sharding must reproduce the single-device step."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from videoloop3d_tpu.parallel.mesh import make_mesh
+from videoloop3d_tpu.parallel.fp_step import (make_fp_stage2_step,
+                                              sharded_gpnn_lowmem)
+from videoloop3d_tpu.train.stage2 import make_stage2_step
+from videoloop3d_tpu.losses import patch_nn as pnl
+from tests.test_parallel import _tiny_mpv, _patch_batch, LOSSCFG
+
+
+def _single_loss(x, y, alpha, pad):
+    x_pad = jnp.concatenate([x, x[:, :pad]], axis=1)
+    return pnl.gpnn_lowmem_loss(
+        x_pad, y, patch_size=LOSSCFG["patch_size"],
+        patcht_size=LOSSCFG["patcht_size"], stride=LOSSCFG["stride"],
+        stridet=1, alpha=1e10 if alpha is None else alpha,
+        rou=LOSSCFG["rou"], scaling=LOSSCFG["scaling"],
+        macro_block=LOSSCFG["macro_block"])
+
+
+def test_sharded_gpnn_matches_single_device():
+    """The ring-halo'd, fold-spilled, pad-wrapped sharded loss equals the
+    single-device loop-padded gpnn_lm loss."""
+    rng = np.random.default_rng(0)
+    F, h, w = 8, 20, 24
+    x = rng.random((3, F, h, w)).astype(np.float32)
+    y = rng.random((3, F, h, w)).astype(np.float32)
+    pad = LOSSCFG["patcht_size"] - 1
+
+    for alpha in (None, 0.01):
+        want = float(_single_loss(jnp.asarray(x), jnp.asarray(y), alpha,
+                                  pad))
+        for S in (2, 4):
+            mesh = make_mesh(n_dp=1, n_fp=S)
+
+            def worker(xl, yl):
+                return sharded_gpnn_lowmem(
+                    xl, yl, patch_size=LOSSCFG["patch_size"],
+                    patcht_size=LOSSCFG["patcht_size"],
+                    stride=LOSSCFG["stride"], alpha=alpha,
+                    rou=LOSSCFG["rou"], scaling=LOSSCFG["scaling"],
+                    macro_block=LOSSCFG["macro_block"], fp_size=S,
+                    frm_num=F)
+
+            mapped = jax.shard_map(
+                worker, mesh=mesh,
+                in_specs=(P(None, "fp"), P()), out_specs=P(),
+                check_vma=False)
+            got = float(jax.jit(mapped)(jnp.asarray(x),
+                                        jnp.asarray(y)))
+            assert np.isclose(got, want, rtol=2e-4), (S, alpha, got, want)
+
+
+def test_fp_step_matches_single_device():
+    """Full fp=4 sharded training step == single-device step (SGD)."""
+    scene, args, model, params = _tiny_mpv(frm=8)
+    args.optimizer = "sgd"
+    mesh = make_mesh(n_dp=2, n_fp=4)
+    weights = {k: jnp.asarray(0.2, jnp.float32)
+               for k in ("sparsity", "rgb_smooth", "a_smooth", "d_smooth",
+                         "density")}
+    rng = jax.random.PRNGKey(0)
+    ext, intr, vids = _patch_batch(scene, 2)
+    ext[:] = ext[:1]
+    intr[:] = intr[:1]
+    vids[:] = vids[:1]
+
+    fp_step, fp_init = make_fp_stage2_step(
+        model, args, 24, 32, LOSSCFG, mesh, param_keys=tuple(params))
+    p_fp, o_fp, m_fp = fp_step(
+        jax.tree.map(jnp.copy, params), fp_init(params),
+        {"extrin": jnp.asarray(ext), "intrin": jnp.asarray(intr),
+         "video": jnp.asarray(vids)},
+        jnp.asarray(0.1), weights, rng)
+
+    single_step, s_init = make_stage2_step(model, args, 24, 32, LOSSCFG)
+    p_s, o_s, m_s = single_step(
+        jax.tree.map(jnp.copy, params), s_init(params),
+        {"extrin": jnp.asarray(ext[:1]), "intrin": jnp.asarray(intr[:1]),
+         "video": jnp.asarray(vids[0])},
+        jnp.asarray(0.1), weights, rng)
+
+    assert np.isclose(float(m_fp["loss"]), float(m_s["loss"]),
+                      rtol=2e-4), (float(m_fp["loss"]), float(m_s["loss"]))
+    for k in params:
+        a, b = np.asarray(p_fp[k]), np.asarray(p_s[k])
+        if a.size == 0:
+            continue
+        assert np.allclose(a, b, atol=2e-4), \
+            (k, np.abs(a - b).max())
+
+
+def test_fp_step_trains():
+    scene, args, model, params = _tiny_mpv(frm=8)
+    mesh = make_mesh(n_dp=2, n_fp=4)
+    weights = {k: jnp.asarray(0.0, jnp.float32)
+               for k in ("sparsity", "rgb_smooth", "a_smooth", "d_smooth",
+                         "density")}
+    rng = jax.random.PRNGKey(1)
+    ext, intr, vids = _patch_batch(scene, 2)
+    step, init = make_fp_stage2_step(model, args, 24, 32, LOSSCFG, mesh,
+                                     param_keys=tuple(params))
+    opt = init(params)
+    batch = {"extrin": jnp.asarray(ext), "intrin": jnp.asarray(intr),
+             "video": jnp.asarray(vids)}
+    losses = []
+    for _ in range(6):
+        rng, sub = jax.random.split(rng)
+        params, opt, m = step(params, opt, batch, jnp.asarray(0.3),
+                              weights, sub)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0], losses
