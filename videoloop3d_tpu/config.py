@@ -135,6 +135,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--i_weights", type=int, default=20000)
     p.add_argument("--i_video", type=int, default=10000)
 
+    # resilience / observability (upgrades over the reference, which
+    # lists checkpoints but never auto-resumes — ref train_3d.py:172-186)
+    p.add_argument("--disable_auto_resume", action="store_true",
+                   help="do not resume from the newest checkpoint in the "
+                        "run directory")
+    p.add_argument("--profile_steps", type=str, default="",
+                   help="'start:stop' step window to capture a "
+                        "jax.profiler trace")
+    p.add_argument("--profile_dir", type=str, default="",
+                   help="trace output dir (default <rundir>/profile)")
+
     # parallelism (TPU-native: size of the data-parallel device mesh)
     p.add_argument("--gpu_num", type=int, default=-1,
                    help="kept for config compatibility; <=0 selects CPU")

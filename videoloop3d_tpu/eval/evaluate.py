@@ -41,24 +41,8 @@ def load_mpv_from_run(args, H, W, ref_extrin, ref_intrin, near, far,
     model = MPMeshVid(args, H, W, ref_extrin, ref_intrin, near, far)
     ckpt = ckpt_io.load_checkpoint(ckpt_path)
     params = model.init_from_stage1(ckpt) if ckpt["meta"]["stage"] == "mpi" \
-        else _restore_mpv(model, ckpt)
+        else model.restore_checkpoint(ckpt)
     return model, params, rundir, ckpt_path
-
-
-def _restore_mpv(model, ckpt):
-    import jax.numpy as jnp
-    meta = ckpt["meta"]
-    model.base_geom = ckpt["geom"]
-    model.geom = ckpt["geom"]
-    model.is_sparse = meta["is_sparse"]
-    model.tile_map_static = ckpt["tile_map_static"]
-    model.tile_map_dyn = ckpt["tile_map_dyn"]
-    model.tile_hw = tuple(meta["tile_hw"]) if meta["tile_hw"] else None
-    base = meta.get("extra", {}).get("base_tile_hw")
-    model.base_tile_hw = tuple(base) if base else model.tile_hw
-    if meta.get("frm_num"):
-        model.frm_num = int(meta["frm_num"])
-    return {k: jnp.asarray(v) for k, v in ckpt["params"].items()}
 
 
 def evaluate(args, crop=40, compute_flags=None):

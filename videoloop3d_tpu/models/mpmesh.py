@@ -115,6 +115,23 @@ def parse_bg_color(bg_color: str, rng=None):
     return jnp.array([r, g, b], jnp.float32)
 
 
+def convert_direct_to_sh(model: "MPMesh", params):
+    """Convert a 'direct' RGBA atlas into 'rgb_sh' (dc coefficients seeded
+    from the direct colors).  Parity: ref MPI.py:273-286 (direct2sh) —
+    the reference flags it "not well tested"; same caveat applies.
+    Returns new params; model.cfg is swapped to rgb_sh."""
+    atlas = np.asarray(params["atlas"], np.float32)
+    D, H, W, _ = atlas.shape
+    dim = 4
+    out = np.zeros((D, H, W, 3 * dim + 1), np.float32)
+    out[..., -1] = atlas[..., -1]
+    out[..., 0:-1:dim] = atlas[..., :3]     # dc coefficient per color
+    new = dict(params)
+    new["atlas"] = jnp.asarray(out)
+    model.cfg = dataclasses.replace(model.cfg, rgb_mlp_type="rgb_sh")
+    return new
+
+
 class MPMesh:
     """Stage-1 model container (static config + param initialisation +
     pure functional render/forward)."""

@@ -102,6 +102,25 @@ class MPMeshVid:
             params["verts"] = jnp.asarray(p["verts"])
         return params
 
+    def restore_checkpoint(self, ckpt):
+        """Restore a stage-2 (mpv) checkpoint into this model; returns
+        params.  Used by eval/render tools and auto-resume."""
+        meta = ckpt["meta"]
+        self.geom = ckpt["geom"]
+        extra = meta.get("extra", {})
+        base_hw = extra.get("base_mpi_hw")
+        self.base_geom = ckpt["geom"].scaled(*base_hw) if base_hw \
+            else ckpt["geom"]
+        self.is_sparse = meta["is_sparse"]
+        self.tile_map_static = ckpt["tile_map_static"]
+        self.tile_map_dyn = ckpt["tile_map_dyn"]
+        self.tile_hw = tuple(meta["tile_hw"]) if meta["tile_hw"] else None
+        base = extra.get("base_tile_hw")
+        self.base_tile_hw = tuple(base) if base else self.tile_hw
+        if meta.get("frm_num"):
+            self.frm_num = int(meta["frm_num"])
+        return {k: jnp.asarray(v) for k, v in ckpt["params"].items()}
+
     # ------------------------------------------------------------------
     def lod(self, params, factor):
         """Level-of-detail resize from the full-resolution base.
@@ -162,10 +181,23 @@ class MPMeshVid:
         act_a = ACTIVATIONS[cfg.alpha_activate]
         valid0 = coords.valid[0]                       # (D, h, w)
 
+        view_dirs = None
+        if cfg.rgb_mlp_type != "direct":
+            # per-pixel unit view directions for the SH decoders
+            from videoloop3d_tpu.core import cameras
+            pose = cameras.pose_to_extrinsic(extrins)[0]
+            _, dirs = cameras.get_rays(h, w, intrins[0], pose)
+            dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+
         def decode(feats, valid):
             """feats (..., C); valid broadcastable to feats[..., 0]."""
+            vd = None
+            if view_dirs is None and cfg.rgb_mlp_type != "direct":
+                # feats is (D,h,w,C) or (D,h,w,F,C): broadcast dirs
+                vd = dirs[None] if feats.ndim == 4 else dirs[None, :, :,
+                                                            None]
             rgba = decode_rgba(feats.astype(jnp.float32),
-                               cfg.rgb_mlp_type, None)
+                               cfg.rgb_mlp_type, vd)
             rgb = act_rgb(rgba[..., :-1]) * valid[..., None]
             alpha = jnp.where(valid, act_a(rgba[..., -1]), 0.0)
             return rgb, alpha

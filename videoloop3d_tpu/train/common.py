@@ -87,6 +87,58 @@ def extra_loss_weights(args, extras_keys):
     return out
 
 
+class Profiler:
+    """jax.profiler trace capture over a step window + step timing.
+
+    The reference has no tracing at all (SURVEY §5); this provides
+    ``--profile_steps start:stop`` traces viewable in TensorBoard and a
+    rolling steps/sec figure for the logs.
+    """
+
+    def __init__(self, args, rundir):
+        self.window = None
+        if getattr(args, "profile_steps", ""):
+            a, b = args.profile_steps.split(":")
+            self.window = (int(a), int(b))
+            self.outdir = getattr(args, "profile_dir", "") or \
+                os.path.join(rundir, "profile")
+        self._active = False
+        self._times = []
+        self._last = None
+
+    def step(self, step_idx):
+        if self.window is None:
+            return
+        import jax
+        if step_idx == self.window[0] and not self._active:
+            os.makedirs(self.outdir, exist_ok=True)
+            jax.profiler.start_trace(self.outdir)
+            self._active = True
+        elif step_idx >= self.window[1] and self._active:
+            jax.profiler.stop_trace()
+            self._active = False
+            print(f"[profile] trace written to {self.outdir}")
+
+    def tick(self):
+        now = time.perf_counter()
+        if self._last is not None:
+            self._times.append(now - self._last)
+            if len(self._times) > 100:
+                self._times.pop(0)
+        self._last = now
+
+    def steps_per_sec(self):
+        if not self._times:
+            return 0.0
+        return 1.0 / (sum(self._times) / len(self._times))
+
+    def close(self):
+        if self._active:
+            import jax
+            jax.profiler.stop_trace()
+            self._active = False
+
+
 def jitter_intrinsic(intrin, rng: np.random.Generator):
     """+-0.5px principal-point jitter, host-side
     (ref train_3d.py:194-197, anti-tiling)."""

@@ -174,17 +174,29 @@ def train(args, progress_cb=None):
     model = MPMesh(args, H, W, ref_extrin, ref_intrin, near, far)
     params = model.init_params(args.seed)
 
-    if args.init_from:
-        loaded = ckpt_io.load_checkpoint(
-            os.path.join(args.prefix, args.init_from))
-        params = {k: jnp.asarray(v) for k, v in loaded["params"].items()}
-        model.geom = loaded["geom"]
+    def load_into_model(path):
+        loaded = ckpt_io.load_checkpoint(path)
         meta = loaded["meta"]
+        model.geom = loaded["geom"]
         model.is_sparse = meta["is_sparse"]
         model.has_dyn = meta["has_dyn"]
         model.tile_map_static = loaded["tile_map_static"]
         model.tile_map_dyn = loaded["tile_map_dyn"]
         model.tile_hw = tuple(meta["tile_hw"]) if meta["tile_hw"] else None
+        new_params = {k: jnp.asarray(v) for k, v in loaded["params"].items()}
+        return new_params, meta
+
+    start_epoch = 0
+    if args.init_from:
+        params, _ = load_into_model(os.path.join(args.prefix,
+                                                 args.init_from))
+    elif not args.disable_auto_resume:
+        latest = ckpt_io.latest_checkpoint(rundir)
+        if latest:
+            params, meta = load_into_model(latest)
+            start_epoch = int(meta["extra"].get("epoch_i", -1)) + 1
+            print(f"[stage1] auto-resuming from {latest} "
+                  f"at epoch {start_epoch}")
 
     dataset = ImagePatchDataset(
         (H, W), videos, (args.patch_h_size, args.patch_w_size),
@@ -208,10 +220,13 @@ def train(args, progress_cb=None):
     np_rng = np.random.default_rng(args.seed)
     key = jax.random.PRNGKey(args.seed)
 
-    total_step = 0
+    prof = common.Profiler(args, rundir)
+    total_step = start_epoch * len(dataset)
     metrics = {}
     for epoch in range(args.N_iters):
-        if epoch == args.sparsify_epoch:
+        if epoch < start_epoch:
+            continue
+        if epoch == args.sparsify_epoch and not model.is_sparse:
             params, cull_info = apply_tile_cull(
                 model, params, ACTIVATIONS[model.cfg.alpha_activate],
                 erode_num=args.sparsify_erode,
@@ -244,9 +259,11 @@ def train(args, progress_cb=None):
                 "loopmask": jnp.asarray(item["loopmask"])[None],
             }
             key, sub = jax.random.split(key)
+            prof.step(total_step)
             params, opt_state, metrics = step_fn(
                 params, opt_state, batch, jnp.asarray(lr, jnp.float32),
                 weights_dev, sub)
+            prof.tick()
             if total_step % args.i_img == 0:
                 for k, v in metrics.items():
                     logger.scalar(f"stage1/{k}", float(v), total_step)
@@ -255,7 +272,8 @@ def train(args, progress_cb=None):
 
         if metrics and (epoch % max(args.i_print // 10, 1) == 0):
             print(f"[stage1] epoch {epoch} loss={float(metrics['loss']):.4f}"
-                  f" psnr={float(metrics['psnr']):.2f}")
+                  f" psnr={float(metrics['psnr']):.2f}"
+                  f" ({prof.steps_per_sec():.2f} it/s)")
         if progress_cb is not None:
             progress_cb(epoch, metrics)
 
@@ -286,5 +304,6 @@ def train(args, progress_cb=None):
                                       rundir,
                                       f"loopable_epoch_{epoch:04d}"))
 
+    prof.close()
     logger.close()
     return model, params, rundir

@@ -169,6 +169,8 @@ def save_stage2_checkpoint(path, model, params, pyr_i, epoch,
                     "train_factor": factor, "hw": list(hw),
                     "base_tile_hw": list(model.base_tile_hw)
                     if model.base_tile_hw else None,
+                    "base_mpi_hw": [model.base_geom.mpi_h,
+                                    model.base_geom.mpi_w],
                     "rgb_mlp_type": model.cfg.rgb_mlp_type,
                     "rgb_activate": model.cfg.rgb_activate,
                     "alpha_activate": model.cfg.alpha_activate})
@@ -205,12 +207,29 @@ def train(args, progress_cb=None):
     common.snapshot_run(expdir, expname, args)
 
     model = MPMeshVid(args, H, W, ref_extrin, ref_intrin, near, far)
-    if args.init_from:
-        ckpt = ckpt_io.load_checkpoint(os.path.join(args.prefix,
-                                                    args.init_from))
-        params = model.init_from_stage1(ckpt)
-    else:
-        params = model.init_params(args.seed)
+    resume_at = None
+    latest = None if args.disable_auto_resume \
+        else ckpt_io.latest_checkpoint(rundir)
+    if latest is not None:
+        ckpt = ckpt_io.load_checkpoint(latest)
+        if ckpt["meta"]["stage"] == "mpv":
+            params = model.restore_checkpoint(ckpt)
+            ex = ckpt["meta"].get("extra", {})
+            resume_at = (int(ex.get("pyr_i", 0)),
+                         int(ex.get("epoch_i", -1)) + 1,
+                         int(ex.get("epoch_total_step", 0)) + 1,
+                         int(ex.get("iter_total_step", 0)))
+            print(f"[stage2] auto-resuming from {latest} at level "
+                  f"{resume_at[0]} epoch {resume_at[1]}")
+        else:
+            latest = None
+    if latest is None:
+        if args.init_from:
+            ckpt = ckpt_io.load_checkpoint(os.path.join(args.prefix,
+                                                        args.init_from))
+            params = model.init_from_stage1(ckpt)
+        else:
+            params = model.init_params(args.seed)
 
     # per-view loss configs (ref train_3dvid.py:160-192)
     cfg_other = loss_config_from_args(args, ref=False)
@@ -232,10 +251,16 @@ def train(args, progress_cb=None):
     print("[stage2] pyramid:", [(f"{f:.3f}", hw, n)
                                 for f, hw, n in schedule])
 
+    prof = common.Profiler(args, rundir)
     epoch_total = 0
     iter_total = 0
+    start_level, start_epoch = (0, 0)
+    if resume_at is not None:
+        start_level, start_epoch, epoch_total, iter_total = resume_at
     metrics = {}
     for pyr_i, (factor, hw, num_epoch) in enumerate(schedule):
+        if pyr_i < start_level:
+            continue
         params = model.lod(params, factor)
         dataset = VideoPatchDataset(
             hw, videos, (args.patch_h_size, args.patch_w_size),
@@ -253,6 +278,8 @@ def train(args, progress_cb=None):
         opt_state = next(iter(step_cache.values()))[1](params)
 
         for epoch in range(num_epoch):
+            if pyr_i == start_level and epoch < start_epoch:
+                continue
             for item in dataset.iter_epoch(np_rng, shuffle=True):
                 lr = opt_lib.lr_schedule(epoch, args.lrate,
                                          decay_steps_k=args.lrate_decay)
@@ -268,10 +295,12 @@ def train(args, progress_cb=None):
                     "video": jnp.asarray(item["video"]),
                 }
                 key, sub = jax.random.split(key)
+                prof.step(iter_total)
                 step_fn = step_cache[repr(sorted(item["losscfg"].items()))][0]
                 params, opt_state, metrics = step_fn(
                     params, opt_state, batch, jnp.asarray(lr, jnp.float32),
                     weights, sub)
+                prof.tick()
                 if (iter_total + 1) % args.i_img == 0:
                     for k, v in metrics.items():
                         logger.scalar(f"stage2/{k}", float(v), iter_total)
@@ -281,7 +310,8 @@ def train(args, progress_cb=None):
             if metrics:
                 print(f"[stage2] l{pyr_i} epoch {epoch} "
                       f"loss={float(metrics['loss']):.4f} "
-                      f"swd={float(metrics['swd']):.4f}")
+                      f"swd={float(metrics['swd']):.4f} "
+                      f"({prof.steps_per_sec():.2f} it/s)")
             if progress_cb is not None:
                 progress_cb(pyr_i, epoch, metrics)
 
@@ -308,5 +338,6 @@ def train(args, progress_cb=None):
                     to8b(np.stack(frames)), fps=fps)
             epoch_total += 1
 
+    prof.close()
     logger.close()
     return model, params, rundir
