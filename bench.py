@@ -110,6 +110,8 @@ def build_bench_setup(quick=False):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bench the bf16 gather path")
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--verbose", action="store_true")
@@ -125,6 +127,8 @@ def main():
 
     model, args, params, batch, losscfg, (ph, pw), info = \
         build_bench_setup(opts.quick)
+    if opts.bf16:
+        model.gather_dtype = jnp.bfloat16
     if opts.verbose:
         print("setup:", info, file=sys.stderr)
         print("devices:", jax.devices(), file=sys.stderr)
@@ -146,18 +150,23 @@ def main():
                                 jnp.asarray(0.01), weights, rng)
     jax.block_until_ready((params, opt_state, m))
 
-    times = []
+    # steady-state throughput: N steps between two barriers (per-step
+    # block_until_ready is unreliable on the tunneled axon platform)
+    losses = []
+    t0 = time.perf_counter()
     for i in range(opts.iters):
-        t0 = time.perf_counter()
         params, opt_state, m = step(params, opt_state, batch,
                                     jnp.asarray(0.01), weights, rng)
-        jax.block_until_ready((params, opt_state, m))
-        times.append(time.perf_counter() - t0)
-    step_ms = float(np.median(times) * 1000)
+        losses.append(m["loss"])
+    _ = [float(v) for v in losses]        # device->host sync on real data
+    step_ms = (time.perf_counter() - t0) / opts.iters * 1000
     if opts.verbose:
-        print(f"compile {compile_s:.1f}s, times {times}", file=sys.stderr)
+        print(f"compile {compile_s:.1f}s, {opts.iters} steps "
+              f"-> {step_ms:.0f} ms/step", file=sys.stderr)
 
     metric = "stage2_step_time_quick" if opts.quick else "stage2_step_time"
+    if opts.bf16:
+        metric += "_bf16"
     vs = BASELINE_STEP_MS / step_ms if not opts.quick else float("nan")
     print(json.dumps({"metric": metric, "value": round(step_ms, 2),
                       "unit": "ms",

@@ -47,7 +47,13 @@ class MPMeshVid:
         self.tile_map_dyn: Optional[np.ndarray] = None
         self.tile_hw: Optional[tuple] = None
         self.base_tile_hw: Optional[tuple] = None
-        self.dtype = jnp.bfloat16 if args.fp16 else jnp.float32
+        # --fp16 enables a WORKING bf16 path (the reference's fp16 flag
+        # is declared buggy, config_parser.py:32-33): tile textures are
+        # gathered in bfloat16 (halving the HBM gather traffic that
+        # dominates the step) while decode/composite/loss accumulate in
+        # f32.  Parameters stay f32 for optimizer precision.
+        self.dtype = jnp.float32
+        self.gather_dtype = jnp.bfloat16 if args.fp16 else jnp.float32
 
     # ------------------------------------------------------------------
     # Dynamic-atlas layout: TILE-MAJOR with a trailing frame axis —
@@ -209,11 +215,11 @@ class MPMeshVid:
                 self.geom, jnp.asarray(self.tile_map_static), sample_coords)
             k_d, _, _ = R.tile_lookup(
                 self.geom, jnp.asarray(self.tile_map_dyn), sample_coords)
-            vals_s, hit_s = R.sample_sparse(params["atlas"],
-                                            k_s, fu, fv)
-            dyn = params["atlas_dyn"]                  # (Nd, th, tw, F, 4)
+            vals_s, hit_s = R.sample_sparse(
+                params["atlas"].astype(self.gather_dtype), k_s, fu, fv)
+            dyn = params["atlas_dyn"].astype(self.gather_dtype)
             if ts is not None:                         # None = all frames
-                dyn = dyn[..., ts, :]
+                dyn = dyn[..., ts, :]                  # (Nd, th, tw, F, 4)
             th, tw = dyn.shape[1], dyn.shape[2]
             vals_d, hit_d = bilinear_tiles_tilemajor(
                 dyn, k_d[0], fu[0] * (tw - 1), fv[0] * (th - 1))
@@ -226,9 +232,9 @@ class MPMeshVid:
         else:
             from videoloop3d_tpu.render.sample import \
                 bilinear_planes_tilemajor
-            dyn = params["atlas_dyn"]                  # (D, Ht, Wt, F, 4)
+            dyn = params["atlas_dyn"].astype(self.gather_dtype)
             if ts is not None:
-                dyn = dyn[..., ts, :]
+                dyn = dyn[..., ts, :]                  # (D, Ht, Wt, F, 4)
             D = dyn.shape[0]
             xs = sample_coords.x[0].reshape(D, -1)
             ys = sample_coords.y[0].reshape(D, -1)
