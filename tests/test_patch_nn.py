@@ -161,3 +161,25 @@ def test_swd_loss_runs_and_discriminates():
     l_diff = float(swd_3d_loss(x, y, key, **kw))
     assert l_same < 1e-6
     assert l_diff > l_same
+
+
+def test_ssim_distance_nn():
+    """ssim patch distance: identical patches are nearest; a
+    contrast-matched but shifted-mean patch ranks worse than under mse."""
+    rng = np.random.default_rng(10)
+    base = rng.random((1, 4, 27)).astype(np.float32)
+    X = base
+    # candidates: [exact copy, mean-shifted copy, noise]
+    Y = np.concatenate([base + 0.5, base,
+                        rng.random((1, 4, 27)).astype(np.float32)],
+                       axis=1)
+    nns = np.asarray(P.nn_indices(jnp.asarray(X), jnp.asarray(Y),
+                                  dist_fn="ssim"))
+    assert np.all(nns == np.arange(4, 8)), nns    # exact copies win
+
+    loss = P.gpnn_lowmem_loss(
+        jnp.asarray(rng.random((3, 6, 16, 16)).astype(np.float32)),
+        jnp.asarray(rng.random((3, 6, 16, 16)).astype(np.float32)),
+        patch_size=3, patcht_size=3, stride=2, stridet=1, alpha=1e10,
+        rou="mse", macro_block=12, dist_fn="ssim")
+    assert np.isfinite(float(loss))

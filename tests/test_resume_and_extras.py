@@ -97,3 +97,31 @@ def test_direct2sh_conversion():
     rgbl, _ = model.render(new, 20, 24, jnp.eye(4)[None],
                            jnp.asarray(km.astype(np.float32))[None])
     assert np.isfinite(np.asarray(rgbl)).all()
+
+
+def test_nex_and_mlp_decoders_train():
+    """The learnable view-conditioned decoders render, differentiate,
+    and their weights receive gradients."""
+    from videoloop3d_tpu.models.geometry import MPIGeometry
+    from videoloop3d_tpu.models.mpmesh import MPMesh, MPMeshConfig
+    km = np.array([[20.0, 0, 12], [0, 20, 10], [0, 0, 1]])
+    geom = MPIGeometry(
+        n_planes=2, mpi_h=21, mpi_w=25, n_tiles_h=2, n_tiles_w=3,
+        near=1.5, far=6.0, depths=(5.0, 2.0),
+        ref_intrin_mpi=tuple(tuple(float(v) for v in r) for r in km),
+        ref_extrin=tuple(tuple(float(v) for v in r) for r in np.eye(4)))
+    for mlp_type in ("nex_rgb", "mlp_alpha"):
+        cfg = MPMeshConfig(rgb_mlp_type=mlp_type, atlas_cnl=8)
+        model = MPMesh.from_geometry(geom, cfg, 20, 24)
+        params = model.init_params(0)
+        assert "decoder" in params
+        intr = jnp.asarray(km.astype(np.float32))[None]
+
+        def loss(p):
+            rgbl, _ = model.forward(p, 20, 24, jnp.eye(4)[None], intr,
+                                    training=False)
+            return jnp.mean(rgbl ** 2)
+
+        g = jax.grad(loss)(params)
+        assert np.isfinite(float(loss(params)))
+        assert float(jnp.abs(g["decoder"]["l0"]["w"]).max()) > 0, mlp_type

@@ -139,19 +139,49 @@ def _pairwise_sqdist(X, Y):
     return (xx + yy - 2.0 * xy) / X.shape[-1]
 
 
-def nn_indices(X, Y, alpha=None):
+def _pairwise_ssim_dist(X, Y):
+    """Global-statistics SSIM similarity between all patch pairs.
+
+    Counterpart of the reference's 'ssim' patch distance
+    (utils_vid.py:89-106, win 3 on tiny patches ~ whole-patch
+    statistics).  X: (B, n, d); Y: (B, m, d); returns (B, n, m) where
+    LOWER = more similar (we negate SSIM so argmin semantics match the
+    mse distance; the reference feeds raw SSIM to argmin, which selects
+    the most DISsimilar patch — an apparent bug in an unused path we do
+    not reproduce).
+    """
+    C1 = 0.01 ** 2
+    C2 = 0.03 ** 2
+    d = X.shape[-1]
+    mx = jnp.mean(X, axis=-1)
+    my = jnp.mean(Y, axis=-1)
+    vx = jnp.var(X, axis=-1)
+    vy = jnp.var(Y, axis=-1)
+    hi = jax.lax.Precision.HIGHEST
+    xy = jnp.einsum("bnd,bmd->bnm", X, Y, precision=hi) / d
+    cov = xy - mx[..., :, None] * my[..., None, :]
+    num = (2 * mx[..., :, None] * my[..., None, :] + C1) * (2 * cov + C2)
+    den = ((mx ** 2)[..., :, None] + (my ** 2)[..., None, :] + C1) \
+        * (vx[..., :, None] + vy[..., None, :] + C2)
+    return 1.0 - num / den
+
+
+DIST_FNS = {"mse": _pairwise_sqdist, "ssim": _pairwise_ssim_dist}
+
+
+def nn_indices(X, Y, alpha=None, dist_fn="mse"):
     """Per-batch nearest neighbor of each X row among Y rows, with the
     optional completeness normalization: distances are divided column-wise
     by (alpha + min_i dist(i, j)) so rarely-used targets become cheaper
     (the paper's alpha term; ref utils_vid.py:122-142)."""
-    dist = _pairwise_sqdist(X, Y)
+    dist = DIST_FNS[dist_fn](X, Y)
     if alpha is not None:
         col_min = jnp.min(dist, axis=1, keepdims=True)     # (B, 1, m)
         dist = dist / (alpha + col_min)
     return jnp.argmin(dist, axis=2)
 
 
-def nn_retarget(x, y, psz, strides, alpha=None):
+def nn_retarget(x, y, psz, strides, alpha=None, dist_fn="mse"):
     """Build the retargeted pseudo-ground-truth: for every 3D patch of x,
     its temporal NN patch of y (same spatial location), folded back.
 
@@ -166,7 +196,7 @@ def nn_retarget(x, y, psz, strides, alpha=None):
     dim = int(np.prod(Xp.shape[3:]))
     Xf = Xp.reshape(ntx, nh * nw, dim).transpose(1, 0, 2)
     Yf = Yp.reshape(nty, nh * nw, dim).transpose(1, 0, 2)
-    nns = nn_indices(Xf, Yf, alpha)                # (B, ntx)
+    nns = nn_indices(Xf, Yf, alpha, dist_fn)       # (B, ntx)
     sel = jnp.take_along_axis(Yf, nns[..., None], axis=1)  # (B, ntx, dim)
     sel = sel.transpose(1, 0, 2).reshape(Xp.shape)
     return fold_patches_3d(sel, x.shape[1:], strides)
@@ -207,7 +237,8 @@ def _lm_plan(shape_x_t, shape_y_t, h, w, psz, strides, macro):
 
 
 def gpnn_lowmem_retarget(x, y, patch_size=7, patcht_size=7, stride=2,
-                         stridet=2, alpha=None, macro_block=64):
+                         stridet=2, alpha=None, macro_block=64,
+                         dist_fn="mse"):
     """Macro-block NN retarget.  x: (C, Tx, H, W) render (loop-padded);
     y: (C, Ty, H, W) ground truth.  Returns y2x (C, fit_tx, fit_h, fit_w)
     already weight-normalized, and the fitted sizes."""
@@ -226,7 +257,7 @@ def gpnn_lowmem_retarget(x, y, patch_size=7, patcht_size=7, stride=2,
                          for h0 in hs for w0 in ws])
 
     retarget = jax.vmap(
-        lambda xc, yc: nn_retarget(xc, yc, psz, strides, alpha))
+        lambda xc, yc: nn_retarget(xc, yc, psz, strides, alpha, dist_fn))
     y2x_crops = retarget(x_crops, y_crops)          # (Nc, C, fit_tx, mb, mb)
 
     y2x = jnp.zeros((C, fit_tx, fit_h, fit_w), x.dtype)
@@ -253,7 +284,7 @@ def _norm_alpha(alpha):
 
 def gpnn_lowmem_loss(x, y, *, patch_size=7, patcht_size=7, stride=2,
                      stridet=2, alpha=1e10, rou=0, scaling=0.2,
-                     macro_block=64, **_):
+                     macro_block=64, dist_fn="mse", **_):
     """'gpnn_lm': the default stage-2 looping loss.  x: (C, Tx, H, W)
     render (grad flows); y: (C, Ty, H, W) GT video.  The NN/fold target is
     computed under stop_gradient — gradients only flow through
@@ -261,13 +292,15 @@ def gpnn_lowmem_loss(x, y, *, patch_size=7, patcht_size=7, stride=2,
     y2x, (ft, fh, fw) = gpnn_lowmem_retarget(
         jax.lax.stop_gradient(x), jax.lax.stop_gradient(y),
         patch_size=patch_size, patcht_size=patcht_size, stride=stride,
-        stridet=stridet, alpha=_norm_alpha(alpha), macro_block=macro_block)
+        stridet=stridet, alpha=_norm_alpha(alpha), macro_block=macro_block,
+        dist_fn=dist_fn)
     diff = x[:, :ft, :fh, :fw] - y2x
     return jnp.mean(robust_lossfun(diff, rou, scaling))
 
 
 def gpnn_direct_loss(x, y, *, patch_size=7, patcht_size=7, stride=1,
-                     stridet=1, alpha=1e10, rou=0, scaling=0.2, **_):
+                     stridet=1, alpha=1e10, rou=0, scaling=0.2,
+                     dist_fn="mse", **_):
     """'gpnn': whole-patch NN without macro blocks
     (ref utils_vid.py:265-287)."""
     psz = (patcht_size, patch_size, patch_size)
@@ -278,7 +311,7 @@ def gpnn_direct_loss(x, y, *, patch_size=7, patcht_size=7, stride=1,
     fty = fit_patch_size(y.shape[1], patcht_size, stridet)
     xs = jax.lax.stop_gradient(x)[:, :ft, :fh, :fw]
     ys = jax.lax.stop_gradient(y)[:, :fty, :fh, :fw]
-    y2x = nn_retarget(xs, ys, psz, strides, _norm_alpha(alpha))
+    y2x = nn_retarget(xs, ys, psz, strides, _norm_alpha(alpha), dist_fn)
     weight = jnp.asarray(
         np.clip(fold_weight((ft, fh, fw), psz, strides), 1e-10, None))
     y2x = y2x / weight[None]

@@ -30,21 +30,52 @@ from videoloop3d_tpu.models.geometry import MPIGeometry
 from videoloop3d_tpu.render import renderer as R
 
 
-def _atlas_channels(rgb_mlp_type):
+def _atlas_channels(rgb_mlp_type, atlas_cnl=4):
     if rgb_mlp_type == "direct":
         return 4
     if rgb_mlp_type == "rgb_sh":
         return 3 * 4 + 1          # 4 SH coeffs per color + alpha (ref MPI.py:106)
     if rgb_mlp_type == "rgba_sh":
         return 4 * 9              # ref MPV.py:117
+    if rgb_mlp_type in ("nex_rgb", "mlp_alpha"):
+        return max(int(atlas_cnl), 4)
     raise ValueError(f"unknown rgb_mlp_type {rgb_mlp_type}")
 
 
-def decode_rgba(feats, rgb_mlp_type, view_dirs=None):
+def init_decoder_params(rgb_mlp_type, atlas_cnl, seed=0):
+    """Learnable view-conditioned decoder weights (the NeX / MLP family,
+    ref utils_mpi.py:8-47).  None for parameter-free decoders."""
+    rng = np.random.default_rng(seed)
+
+    def dense(n_in, n_out):
+        scale = np.sqrt(2.0 / n_in)
+        return {"w": jnp.asarray(
+                    rng.normal(0, scale, (n_in, n_out)).astype(np.float32)),
+                "b": jnp.zeros((n_out,), jnp.float32)}
+
+    if rgb_mlp_type == "nex_rgb":
+        # basis MLP: view dir -> per-feature RGB basis (ref NeX_RGB,
+        # utils_mpi.py:35-47; alpha is texel channel 0)
+        return {"l0": dense(3, 64), "l1": dense(64, 3 * (atlas_cnl - 1))}
+    if rgb_mlp_type == "mlp_alpha":
+        # direct MLP: (texel feats [1:], view) -> rgb (ref
+        # Feat2RGBMLP_alpha, utils_mpi.py:8-17; alpha is channel 0)
+        return {"l0": dense(atlas_cnl - 1 + 3, 48), "l1": dense(48, 3)}
+    return None
+
+
+def _mlp(decoder, x):
+    h = x @ decoder["l0"]["w"] + decoder["l0"]["b"]
+    h = jax.nn.relu(h)
+    return h @ decoder["l1"]["w"] + decoder["l1"]["b"]
+
+
+def decode_rgba(feats, rgb_mlp_type, view_dirs=None, decoder=None):
     """Texel features -> raw RGBA (pre-activation).
 
-    feats: (..., C); view_dirs: (..., 3) unit vectors (required for SH
-    modes).  Parity: MPI.py feat2rgba / utils_mpi.py:50-75.
+    feats: (..., C); view_dirs: (..., 3) unit vectors (required for
+    view-dependent modes); decoder: learnable weights for the NeX/MLP
+    family.  Parity: MPI.py feat2rgba / utils_mpi.py:8-75.
     """
     if rgb_mlp_type == "direct":
         return feats[..., :4]
@@ -59,12 +90,24 @@ def decode_rgba(feats, rgb_mlp_type, view_dirs=None):
         base = sh.eval_sh_bases(dim, view_dirs)
         coef = feats.reshape(feats.shape[:-1] + (4, dim))
         return jnp.sum(base[..., None, :] * coef, axis=-1)
+    if rgb_mlp_type == "nex_rgb":
+        C = feats.shape[-1]
+        basis = _mlp(decoder, jnp.broadcast_to(
+            view_dirs, feats.shape[:-1] + (3,)))
+        basis = basis.reshape(basis.shape[:-1] + (C - 1, 3))
+        rgb = jnp.sum(feats[..., 1:, None] * basis, axis=-2)
+        return jnp.concatenate([rgb, feats[..., :1]], axis=-1)
+    if rgb_mlp_type == "mlp_alpha":
+        vd = jnp.broadcast_to(view_dirs, feats.shape[:-1] + (3,))
+        rgb = _mlp(decoder, jnp.concatenate([feats[..., 1:], vd], axis=-1))
+        return jnp.concatenate([rgb, feats[..., :1]], axis=-1)
     raise ValueError(rgb_mlp_type)
 
 
 @dataclasses.dataclass(frozen=True)
 class MPMeshConfig:
     rgb_mlp_type: str = "direct"
+    atlas_cnl: int = 4
     rgb_activate: str = "sigmoid"
     alpha_activate: str = "sigmoid"
     learn_loop_mask: bool = False
@@ -87,6 +130,7 @@ class MPMeshConfig:
     def from_args(args):
         return MPMeshConfig(
             rgb_mlp_type=args.rgb_mlp_type,
+            atlas_cnl=int(args.atlas_cnl),
             rgb_activate=args.rgb_activate,
             alpha_activate=args.alpha_activate,
             learn_loop_mask=bool(args.learn_loop_mask),
@@ -165,7 +209,7 @@ class MPMesh:
         """Random init mirroring ref MPI.py:100-117."""
         g = self.geom
         rng = np.random.default_rng(seed)
-        C = _atlas_channels(self.cfg.rgb_mlp_type)
+        C = _atlas_channels(self.cfg.rgb_mlp_type, self.cfg.atlas_cnl)
         atlas = rng.random((g.n_planes, g.mpi_h, g.mpi_w, C),
                            dtype=np.float32)
         atlas[..., -1] = ALPHA_INIT_VAL
@@ -177,10 +221,13 @@ class MPMesh:
             params["atlas_mask"] = jnp.full(
                 (g.n_planes, g.mpi_h, g.mpi_w, 1), ALPHA_INIT_VAL,
                 jnp.float32)
+        decoder = init_decoder_params(self.cfg.rgb_mlp_type, C, seed)
+        if decoder is not None:
+            params["decoder"] = decoder
         return params
 
     # ------------------------------------------------------------------
-    def _decode(self, feats, coords, intrins, extrins):
+    def _decode(self, feats, coords, intrins, extrins, decoder=None):
         """Apply texel decode + activations + validity masking.
         feats: (B, D, H, W, C) raw; returns rgb, alpha (activated&masked)."""
         cfg = self.cfg
@@ -195,7 +242,7 @@ class MPMesh:
             dirs = jnp.stack(dirs)
             dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
             view_dirs = dirs[:, None]                     # broadcast planes
-        rgba = decode_rgba(feats, cfg.rgb_mlp_type, view_dirs)
+        rgba = decode_rgba(feats, cfg.rgb_mlp_type, view_dirs, decoder)
         rgb = ACTIVATIONS[cfg.rgb_activate](rgba[..., :-1])
         alpha = ACTIVATIONS[cfg.alpha_activate](rgba[..., -1])
         alpha = jnp.where(coords.valid, alpha, 0.0)
@@ -216,9 +263,11 @@ class MPMesh:
             rng, sub = jax.random.split(rng)
             sample_coords = R.add_texel_noise(coords, sub)
 
+        decoder = params.get("decoder")
         if not self.is_sparse:
             feats = R.sample_dense(params["atlas"], sample_coords)
-            rgb_p, alpha_p = self._decode(feats, coords, intrins, extrins)
+            rgb_p, alpha_p = self._decode(feats, coords, intrins, extrins,
+                                          decoder)
         else:
             k_s, fu, fv = R.tile_lookup(
                 self.geom, jnp.asarray(self.tile_map_static), sample_coords)
@@ -227,7 +276,8 @@ class MPMesh:
             vals_s, hit_s = R.sample_sparse(params["atlas"], k_s, fu, fv)
             vals_d, hit_d = R.sample_sparse(params["atlas_dyn"], k_d, fu, fv)
             feats = jnp.where(hit_s[..., None], vals_s, vals_d)
-            rgb_p, alpha_p = self._decode(feats, coords, intrins, extrins)
+            rgb_p, alpha_p = self._decode(feats, coords, intrins, extrins,
+                                          decoder)
             hit = hit_s | hit_d
             alpha_p = jnp.where(hit, alpha_p, 0.0)
             rgb_p = rgb_p * hit[..., None]

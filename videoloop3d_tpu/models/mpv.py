@@ -195,6 +195,8 @@ class MPMeshVid:
             _, dirs = cameras.get_rays(h, w, intrins[0], pose)
             dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
 
+        decoder = params.get("decoder")
+
         def decode(feats, valid):
             """feats (..., C); valid broadcastable to feats[..., 0]."""
             vd = None
@@ -203,7 +205,7 @@ class MPMeshVid:
                 vd = dirs[None] if feats.ndim == 4 else dirs[None, :, :,
                                                             None]
             rgba = decode_rgba(feats.astype(jnp.float32),
-                               cfg.rgb_mlp_type, vd)
+                               cfg.rgb_mlp_type, vd, decoder)
             rgb = act_rgb(rgba[..., :-1]) * valid[..., None]
             alpha = jnp.where(valid, act_a(rgba[..., -1]), 0.0)
             return rgb, alpha

@@ -167,6 +167,8 @@ def make_fp_stage2_step(model, args, ph, pw, losscfg, mesh,
     assert loss_name in ("gpnn_lm", "gpnn"), \
         "fp sharding implements the gpnn loss family"
     assert cfg.get("stridet", 1) == 1, "fp sharding requires stridet == 1"
+    assert cfg.get("dist_fn", "mse") == "mse", \
+        "fp sharding implements the mse patch distance"
     loss_gain = float(cfg.pop("loss_gain", 1.0))
     alpha = pnl._norm_alpha(cfg["alpha"])
     pt = cfg["patcht_size"]

@@ -81,7 +81,6 @@ def make_patch_loss_fn(model: MPMeshVid, args, ph, pw, losscfg):
     cfg = dict(losscfg)
     loss_name = cfg.pop("loss_name")
     loss_gain = float(cfg.pop("loss_gain", 1.0))
-    cfg.pop("dist_fn", None)      # 'mse' only (the reference never flips it)
     num_proj = cfg.pop("num_proj", 256)
     pad_frames = (cfg["patcht_size"] - 1) if model.isloop else 0
     ts = None      # train on all frames; None skips the frame gather
