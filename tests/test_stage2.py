@@ -72,7 +72,7 @@ def test_stage2_from_scratch_dense(tmp_path):
     scene_dir = str(tmp_path / "scene")
     synthetic.write_llff_dir(scene, scene_dir, factor=1)
 
-    args = _stage2_args(tmp_path, scene_dir)
+    args = _stage2_args(tmp_path, scene_dir, mesh_devices="1")
     losses = []
     model, params, rundir = stage2.train(
         args, progress_cb=lambda p, e, m: losses.append(float(m["loss"])))
@@ -85,7 +85,8 @@ def test_stage2_from_scratch_dense(tmp_path):
 
 def test_stage2_full_pipeline_sparse(tmp_path):
     """Stage 1 -> culling -> stage 2 on the sparse MTV, loss decreases
-    and a checkpoint with tile maps lands."""
+    and a checkpoint with tile maps lands.  Runs on the virtual 8-device
+    mesh (dp x fp sharded training path) by default."""
     scene = synthetic.make_scene(n_views=2, h=24, w=32, n_frames=6, seed=0)
     scene_dir = str(tmp_path / "scene")
     synthetic.write_llff_dir(scene, scene_dir, factor=1)

@@ -150,7 +150,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gpu_num", type=int, default=-1,
                    help="kept for config compatibility; <=0 selects CPU")
     p.add_argument("--mesh_devices", type=int, default=0,
-                   help="devices in the jax mesh (0 = all available)")
+                   help="devices in the jax mesh (0 = all available, "
+                        "1 = force single-device)")
+    p.add_argument("--mesh_fp", type=int, default=0,
+                   help="frame-parallel axis size (0 = auto: largest "
+                        "divisor of the loop length that fits)")
     return p
 
 

@@ -250,6 +250,56 @@ def train(args, progress_cb=None):
     print("[stage2] pyramid:", [(f"{f:.3f}", hw, n)
                                 for f, hw, n in schedule])
 
+    # device mesh: dp over training patches x fp over the frame axis
+    # (single-device path when only one chip is visible)
+    n_dev = len(jax.devices()) if args.mesh_devices == 0 \
+        else min(args.mesh_devices, len(jax.devices()))
+    mesh = None
+    if n_dev > 1:
+        from videoloop3d_tpu.parallel.mesh import make_mesh
+        min_fl = max(c["patcht_size"] for c in loss_cfgs) - 1
+        n_fp = args.mesh_fp
+        if n_fp <= 0:
+            n_fp = 1
+            for cand in range(n_dev, 0, -1):
+                if (n_dev % cand == 0 and model.frm_num % cand == 0
+                        and model.frm_num // cand >= max(min_fl, 1)):
+                    n_fp = cand
+                    break
+        mesh = make_mesh(n_dp=n_dev // n_fp, n_fp=n_fp)
+        print(f"[stage2] mesh: dp={n_dev // n_fp} x fp={n_fp}")
+
+    def build_step(item_cfg, ph, pw):
+        if mesh is None:
+            return make_stage2_step(model, args, ph, pw, item_cfg) \
+                + (1,)
+        from videoloop3d_tpu.parallel.dp_step import make_dp_stage2_step
+        from videoloop3d_tpu.parallel.fp_step import make_fp_stage2_step
+        n_dp = mesh.shape["dp"]
+        if mesh.shape["fp"] > 1 and item_cfg["loss_name"] in ("gpnn_lm",
+                                                              "gpnn"):
+            step, init = make_fp_stage2_step(model, args, ph, pw,
+                                             item_cfg, mesh)
+        else:
+            step, init = make_dp_stage2_step(model, args, ph, pw,
+                                             item_cfg, mesh)
+        return step, init, n_dp
+
+    def batched_items(dataset):
+        """Group the shuffled epoch into same-losscfg batches of the dp
+        size (padding by repetition)."""
+        groups = {}
+        for item in dataset.iter_epoch(np_rng, shuffle=True):
+            k = repr(sorted(item["losscfg"].items()))
+            groups.setdefault(k, []).append(item)
+        for k, items in groups.items():
+            bs = step_cache[k][2]
+            for i in range(0, len(items), bs):
+                chunk = items[i:i + bs]
+                while len(chunk) < bs:
+                    chunk.append(chunk[-1])
+                yield k, chunk
+
     prof = common.Profiler(args, rundir)
     epoch_total = 0
     iter_total = 0
@@ -268,34 +318,45 @@ def train(args, progress_cb=None):
         ph, pw = dataset.patch_size
         # one jitted step per distinct loss config (<= 2)
         step_cache = {}
-        opt_state = None
         for item_cfg in loss_cfgs:
             k = repr(sorted(item_cfg.items()))
             if k not in step_cache:
-                step_cache[k] = make_stage2_step(model, args, ph, pw,
-                                                 item_cfg)
+                step_cache[k] = build_step(item_cfg, ph, pw)
         opt_state = next(iter(step_cache.values()))[1](params)
 
         for epoch in range(num_epoch):
             if pyr_i == start_level and epoch < start_epoch:
                 continue
-            for item in dataset.iter_epoch(np_rng, shuffle=True):
+            for cfg_key, items in batched_items(dataset):
                 lr = opt_lib.lr_schedule(epoch, args.lrate,
                                          decay_steps_k=args.lrate_decay)
                 if args.lrate_adaptive:
                     lr = lr / len(dataset)
-                intrin = item["intrin"]
-                if args.add_intrin_noise:
-                    intrin = common.jitter_intrinsic(intrin, np_rng)
-                extrin = cameras.pose_to_extrinsic(item["pose"])
-                batch = {
-                    "extrin": jnp.asarray(extrin, jnp.float32)[None],
-                    "intrin": jnp.asarray(intrin, jnp.float32)[None],
-                    "video": jnp.asarray(item["video"]),
-                }
+                exts, intrs, vids = [], [], []
+                for item in items:
+                    intrin = item["intrin"]
+                    if args.add_intrin_noise:
+                        intrin = common.jitter_intrinsic(intrin, np_rng)
+                    exts.append(cameras.pose_to_extrinsic(item["pose"]))
+                    intrs.append(intrin)
+                    vids.append(item["video"])
+                step_fn, _, bs = step_cache[cfg_key]
+                if bs == 1:
+                    batch = {
+                        "extrin": jnp.asarray(np.stack(exts), jnp.float32),
+                        "intrin": jnp.asarray(np.stack(intrs),
+                                              jnp.float32),
+                        "video": jnp.asarray(vids[0]),
+                    }
+                else:   # dp batch: leading device axis
+                    batch = {
+                        "extrin": jnp.asarray(np.stack(exts), jnp.float32),
+                        "intrin": jnp.asarray(np.stack(intrs),
+                                              jnp.float32),
+                        "video": jnp.asarray(np.stack(vids)),
+                    }
                 key, sub = jax.random.split(key)
                 prof.step(iter_total)
-                step_fn = step_cache[repr(sorted(item["losscfg"].items()))][0]
                 params, opt_state, metrics = step_fn(
                     params, opt_state, batch, jnp.asarray(lr, jnp.float32),
                     weights, sub)
