@@ -80,3 +80,17 @@ def test_stage1_end_to_end_smoke(tmp_path):
     loaded = ckpt_io.load_checkpoint(os.path.join(rundir, sorted(ckpts)[-1]))
     assert loaded["meta"]["is_sparse"]
     assert loaded["tile_map_static"] is not None
+
+
+def test_stage1_patch_batching(tmp_path):
+    """patch_batch > 1 trains on stacked patches and still improves."""
+    from videoloop3d_tpu.data import synthetic
+    scene = synthetic.make_scene(n_views=3, h=24, w=32, n_frames=4, seed=0)
+    scene_dir = str(tmp_path / "scene")
+    synthetic.write_llff_dir(scene, scene_dir, factor=1)
+    args = _debug_args(tmp_path, scene_dir, sparsify_epoch="-1",
+                       patch_batch="3")
+    psnrs = []
+    stage1.train(args, progress_cb=lambda e, m: psnrs.append(
+        float(m["psnr"])))
+    assert psnrs[-1] > psnrs[0], psnrs

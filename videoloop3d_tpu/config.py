@@ -121,6 +121,10 @@ def build_parser() -> argparse.ArgumentParser:
     # training options
     p.add_argument("--N_iters", type=int, default=30)
     p.add_argument("--optimizer", type=str, default="adam", choices=["adam", "sgd"])
+    p.add_argument("--patch_batch", type=int, default=1,
+                   help="stage-1 patches optimized jointly per step "
+                        "(amortizes per-step overhead on TPU; 1 = "
+                        "reference semantics)")
     p.add_argument("--patch_h_size", type=int, default=512)
     p.add_argument("--patch_w_size", type=int, default=512)
     p.add_argument("--patch_h_stride", type=int, default=128)

@@ -245,18 +245,29 @@ def train(args, progress_cb=None):
         weights_dev = {k: jnp.asarray(v, jnp.float32)
                        for k, v in weights.items()}
 
+        bsz = max(int(getattr(args, "patch_batch", 1)), 1)
+        pending = []
         for item in dataset.iter_epoch(np_rng, shuffle=True):
+            pending.append(item)
+            if len(pending) < bsz:
+                continue
+            chunk, pending = pending, []
             lr = opt_lib.lr_schedule(total_step, args.lrate,
                                      decay_steps_k=args.lrate_decay)
-            intrin = item["intrin"]
-            if args.add_intrin_noise:
-                intrin = common.jitter_intrinsic(intrin, np_rng)
-            extrin = cameras.pose_to_extrinsic(item["pose"])
+            exts, intrs, rgbs, masks = [], [], [], []
+            for it in chunk:
+                intrin = it["intrin"]
+                if args.add_intrin_noise:
+                    intrin = common.jitter_intrinsic(intrin, np_rng)
+                exts.append(cameras.pose_to_extrinsic(it["pose"]))
+                intrs.append(intrin)
+                rgbs.append(it["rgb"])
+                masks.append(it["loopmask"])
             batch = {
-                "extrin": jnp.asarray(extrin, jnp.float32)[None],
-                "intrin": jnp.asarray(intrin, jnp.float32)[None],
-                "rgb": jnp.asarray(item["rgb"])[None],
-                "loopmask": jnp.asarray(item["loopmask"])[None],
+                "extrin": jnp.asarray(np.stack(exts), jnp.float32),
+                "intrin": jnp.asarray(np.stack(intrs), jnp.float32),
+                "rgb": jnp.asarray(np.stack(rgbs)),
+                "loopmask": jnp.asarray(np.stack(masks)),
             }
             key, sub = jax.random.split(key)
             prof.step(total_step)
@@ -269,6 +280,8 @@ def train(args, progress_cb=None):
                     logger.scalar(f"stage1/{k}", float(v), total_step)
                 logger.scalar("stage1/lr", lr, total_step)
             total_step += 1
+        # leftover partial batch is carried into the next epoch's
+        # shuffle (matches reference 1-patch semantics when bsz == 1)
 
         if metrics and (epoch % max(args.i_print // 10, 1) == 0):
             print(f"[stage1] epoch {epoch} loss={float(metrics['loss']):.4f}"
