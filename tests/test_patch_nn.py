@@ -183,3 +183,22 @@ def test_ssim_distance_nn():
         patch_size=3, patcht_size=3, stride=2, stridet=1, alpha=1e10,
         rou="mse", macro_block=12, dist_fn="ssim")
     assert np.isfinite(float(loss))
+
+
+def test_flat_extract_and_fold_match_reshape_path():
+    """The conv-based flat extract/fold must equal the reshape-based
+    reference implementations (channel ordering (C, dt, dy, dx))."""
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.random((3, 6, 13, 15)).astype(np.float32))
+    psz, strides = (3, 5, 5), (1, 2, 2)
+    ref = np.asarray(P.extract_patches_3d(x, psz, strides))
+    nt, nh, nw = ref.shape[:3]
+    flat = np.asarray(P.extract_patches_flat(x, psz, strides))
+    assert flat.shape == (nt, nh, nw, 3 * 3 * 5 * 5)
+    assert np.allclose(flat, ref.reshape(nt, nh, nw, -1), atol=1e-6)
+
+    folded_ref = np.asarray(P.fold_patches_3d(
+        jnp.asarray(ref), x.shape[1:], strides))
+    folded_flat = np.asarray(P.fold_patches_flat(
+        jnp.asarray(flat), 3, psz, strides))
+    assert np.allclose(folded_flat, folded_ref, atol=1e-5)

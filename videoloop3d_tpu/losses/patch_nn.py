@@ -108,6 +108,53 @@ def fold_patches_3d(patches, out_shape, strides):
     return jnp.transpose(v, (0, 3, 2, 1))
 
 
+def extract_patches_flat(x, psz, strides):
+    """x: (C, T, H, W) -> (n_t, n_h, n_w, C*pt*p*p) via XLA's patch
+    extraction (lowered to an identity-kernel conv).
+
+    TPU note: the reshape-based `extract_patches_3d` materializes 7/8-D
+    tensors whose tiny minor dims (the patch extents) pick up (8,128)
+    layout padding — up to ~7x memory expansion for 11x11 patches.  The
+    flat form keeps the patch dim fused (always >= 128) so layouts stay
+    dense, and the heavy lifting runs on the MXU.
+    """
+    (pt, ph, pw), (st, sh, sw) = psz, strides
+    out = jax.lax.conv_general_dilated_patches(
+        x[None], filter_shape=(pt, ph, pw),
+        window_strides=(st, sh, sw), padding="VALID",
+        dimension_numbers=("NCDHW", "OIDHW", "NCDHW"))
+    # out: (1, C*pt*ph*pw, nt, nh, nw), channels ordered (C, dt, dy, dx)
+    return jnp.transpose(out[0], (1, 2, 3, 0))
+
+
+def fold_patches_flat(patches, n_channels, psz, strides):
+    """Inverse overlap-add of `extract_patches_flat` via an
+    identity-kernel transposed conv (an MXU matmul per output window —
+    the TPU-friendly formulation of N-D fold).
+
+    patches: (n_t, n_h, n_w, C*pt*p*p) -> (C, T, H, W).
+    """
+    (pt, ph, pw), (st, sh, sw) = psz, strides
+    C = n_channels
+    dim = C * pt * ph * pw
+    # kernel (pt, ph, pw, dim, C): scatter flat channel (c, dt, dy, dx)
+    # back to channel c at offset (dt, dy, dx); conv_transpose applies
+    # the kernel spatially mirrored, hence the (p-1-d) index flip
+    kern = np.zeros((pt, ph, pw, dim, C), np.float32)
+    for c in range(C):
+        for dt in range(pt):
+            for dy in range(ph):
+                for dx in range(pw):
+                    flat = ((c * pt + (pt - 1 - dt)) * ph
+                            + (ph - 1 - dy)) * pw + (pw - 1 - dx)
+                    kern[dt, dy, dx, flat, c] = 1.0
+    out = jax.lax.conv_transpose(
+        patches[None], jnp.asarray(kern), strides=(st, sh, sw),
+        padding="VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    return jnp.transpose(out[0], (3, 0, 1, 2))
+
+
 def _fold_profile_1d(length, p, s):
     n = n_patches(length, p, s)
     prof = np.zeros(length, np.float32)
@@ -189,17 +236,17 @@ def nn_retarget(x, y, psz, strides, alpha=None, dist_fn="mse"):
     Returns (y2x_sum (C,Tx,H,W), used with `fold_weight`).
     Parity: utils_vid.py:206-229 (FindNNpatchAndMerge).
     """
-    Xp = extract_patches_3d(x, psz, strides)       # (ntx,nh,nw,C,pt,p,p)
-    Yp = extract_patches_3d(y, psz, strides)
-    ntx, nh, nw = Xp.shape[:3]
+    C = x.shape[0]
+    Xp = extract_patches_flat(x, psz, strides)     # (ntx, nh, nw, dim)
+    Yp = extract_patches_flat(y, psz, strides)
+    ntx, nh, nw, dim = Xp.shape
     nty = Yp.shape[0]
-    dim = int(np.prod(Xp.shape[3:]))
     Xf = Xp.reshape(ntx, nh * nw, dim).transpose(1, 0, 2)
     Yf = Yp.reshape(nty, nh * nw, dim).transpose(1, 0, 2)
     nns = nn_indices(Xf, Yf, alpha, dist_fn)       # (B, ntx)
     sel = jnp.take_along_axis(Yf, nns[..., None], axis=1)  # (B, ntx, dim)
-    sel = sel.transpose(1, 0, 2).reshape(Xp.shape)
-    return fold_patches_3d(sel, x.shape[1:], strides)
+    sel = sel.transpose(1, 0, 2).reshape(ntx, nh, nw, dim)
+    return fold_patches_flat(sel, C, psz, strides)
 
 
 # ---------------------------------------------------------------------------
@@ -256,9 +303,15 @@ def gpnn_lowmem_retarget(x, y, patch_size=7, patcht_size=7, stride=2,
     y_crops = jnp.stack([y[..., h0:h0 + macro, w0:w0 + macro]
                          for h0 in hs for w0 in ws])
 
-    retarget = jax.vmap(
-        lambda xc, yc: nn_retarget(xc, yc, psz, strides, alpha, dist_fn))
-    y2x_crops = retarget(x_crops, y_crops)          # (Nc, C, fit_tx, mb, mb)
+    # chunk the crop fan-out: the patch tensors of large-patch configs
+    # pick up heavy TPU layout padding (minor dims ~ patch size), so a
+    # full vmap over ~24 crops can exceed HBM; cap concurrent crops.
+    chunk = max(1, min(len(x_crops),
+                       8 if patch_size <= 7 else 2))
+    y2x_crops = jax.lax.map(
+        lambda xy: nn_retarget(xy[0], xy[1], psz, strides, alpha,
+                               dist_fn),
+        (x_crops, y_crops), batch_size=chunk)       # (Nc, C, fit_tx, mb, mb)
 
     y2x = jnp.zeros((C, fit_tx, fit_h, fit_w), x.dtype)
     ci = 0

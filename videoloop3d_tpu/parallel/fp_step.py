@@ -89,11 +89,10 @@ def sharded_gpnn_lowmem(x_scaled, y, *, patch_size, patcht_size, stride,
 
     def crop_retarget(xc, yc):
         """One macro crop: local temporal NN + fold (numerator only)."""
-        Xp = pnl.extract_patches_3d(xc, psz, strides)   # (Fl, nh, nw, ...)
-        Yp = pnl.extract_patches_3d(yc, psz, strides)
-        ntx, nh, nw = Xp.shape[:3]
+        Xp = pnl.extract_patches_flat(xc, psz, strides)  # (Fl,nh,nw,dim)
+        Yp = pnl.extract_patches_flat(yc, psz, strides)
+        ntx, nh, nw, dim = Xp.shape
         nty = Yp.shape[0]
-        dim = int(np.prod(Xp.shape[3:]))
         Xf = Xp.reshape(ntx, nh * nw, dim).transpose(1, 0, 2)
         Yf = Yp.reshape(nty, nh * nw, dim).transpose(1, 0, 2)
         dist = pnl._pairwise_sqdist(Xf, Yf)             # (B, Fl, nty)
@@ -103,9 +102,8 @@ def sharded_gpnn_lowmem(x_scaled, y, *, patch_size, patcht_size, stride,
             dist = dist / (alpha + col_min)
         nns = jnp.argmin(dist, axis=2)
         sel = jnp.take_along_axis(Yf, nns[..., None], axis=1)
-        sel = sel.transpose(1, 0, 2).reshape(Xp.shape)
-        return pnl.fold_patches_3d(sel, (Fl + pad, xc.shape[2],
-                                         xc.shape[3]), strides)
+        sel = sel.transpose(1, 0, 2).reshape(ntx, nh, nw, dim)
+        return pnl.fold_patches_flat(sel, C, psz, strides)
 
     x_crops = jnp.stack([x_ext[..., h0:h0 + macro, w0:w0 + macro]
                          for h0 in hs for w0 in ws])

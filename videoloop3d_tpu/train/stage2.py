@@ -287,18 +287,22 @@ def train(args, progress_cb=None):
 
     def batched_items(dataset):
         """Group the shuffled epoch into same-losscfg batches of the dp
-        size (padding by repetition)."""
+        size (padding by repetition), then interleave the groups in
+        shuffled order (matching the reference's global patch shuffle)."""
         groups = {}
         for item in dataset.iter_epoch(np_rng, shuffle=True):
             k = repr(sorted(item["losscfg"].items()))
             groups.setdefault(k, []).append(item)
+        batches = []
         for k, items in groups.items():
             bs = step_cache[k][2]
             for i in range(0, len(items), bs):
                 chunk = items[i:i + bs]
                 while len(chunk) < bs:
                     chunk.append(chunk[-1])
-                yield k, chunk
+                batches.append((k, chunk))
+        np_rng.shuffle(batches)
+        return batches
 
     prof = common.Profiler(args, rundir)
     epoch_total = 0
