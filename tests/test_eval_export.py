@@ -127,3 +127,20 @@ def test_export_roundtrip(tmp_path):
     assert np.all(np.diff(depth) <= 1e-6)
     # vertex colors present (x y z r g b)
     assert verts.shape[1] == 6
+
+
+def test_save_mesh_preview(tmp_path):
+    from videoloop3d_tpu.export.mesh_export import (save_mesh_preview,
+                                                    full_tile_map)
+    from videoloop3d_tpu.export.objio import load_obj
+    from videoloop3d_tpu.models.geometry import MPIGeometry
+    km = np.array([[20.0, 0, 16], [0, 20, 12], [0, 0, 1]])
+    geom = MPIGeometry(
+        n_planes=2, mpi_h=25, mpi_w=31, n_tiles_h=2, n_tiles_w=3,
+        near=1.5, far=6.0, depths=(5.0, 2.0),
+        ref_intrin_mpi=tuple(tuple(float(v) for v in r) for r in km),
+        ref_extrin=tuple(tuple(float(v) for v in r) for r in np.eye(4)))
+    save_mesh_preview(geom, full_tile_map(geom), None,
+                      str(tmp_path / "mesh"))
+    verts, uvs, faces, uvfaces = load_obj(str(tmp_path / "mesh.obj"))
+    assert len(faces) == 2 * 2 * 2 * 3      # 2 tris x D x nth x ntw

@@ -187,6 +187,36 @@ def export_mtv(outdir, geom, params, tile_map_static, tile_map_dyn,
     return outdir
 
 
+def save_mesh_preview(geom, tile_map_static, tile_map_dyn, path_prefix):
+    """Training-cadence OBJ dumps (ref MPI.py:223-239 / MPV.py:306-323
+    save_mesh): `<prefix>.obj` for the static tile mesh and
+    `<prefix>_dyn.obj` for the dynamic one.  Dense phase: pass
+    tile_map_static full and tile_map_dyn None."""
+    from videoloop3d_tpu.export.objio import save_obj
+    verts = geom.vertex_grid()
+    for tm, suffix in ((tile_map_static, ""), (tile_map_dyn, "_dyn")):
+        if tm is None:
+            continue
+        faces = build_mesh_for_map(geom, np.asarray(tm))
+        if not len(faces):
+            continue
+        n_tiles = len(faces) // 2
+        # texture coords are synthesized at export time; previews carry a
+        # unit uv per tile corner
+        uvs = np.tile(np.array([[0, 0], [1, 0], [0, 1], [1, 1]],
+                               np.float64), (n_tiles, 1))
+        uvfaces = uvfaces_for_tiles(n_tiles)
+        save_obj(path_prefix + suffix + ".obj", verts, faces, uvs,
+                 uvfaces)
+
+
+def full_tile_map(geom):
+    """All-tiles map for dense-phase mesh previews."""
+    n = geom.n_planes * geom.n_tiles_h * geom.n_tiles_w
+    return np.arange(n, dtype=np.int32).reshape(
+        geom.n_planes, geom.n_tiles_h, geom.n_tiles_w)
+
+
 def scene_meta_from_llff(scene):
     """The camera metadata block (ref script_export_mesh.py:88-111)."""
     poses = scene["poses"]

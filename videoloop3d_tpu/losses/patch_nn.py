@@ -237,16 +237,32 @@ def nn_retarget(x, y, psz, strides, alpha=None, dist_fn="mse"):
     Parity: utils_vid.py:206-229 (FindNNpatchAndMerge).
     """
     C = x.shape[0]
-    Xp = extract_patches_flat(x, psz, strides)     # (ntx, nh, nw, dim)
-    Yp = extract_patches_flat(y, psz, strides)
-    ntx, nh, nw, dim = Xp.shape
-    nty = Yp.shape[0]
+    # backend dispatch: the conv-based flat path avoids catastrophic TPU
+    # layout padding (minor dims = patch extents) and runs on the MXU,
+    # but identity-kernel convs are slow on the CPU backend.
+    use_flat = jax.default_backend() != "cpu"
+    if use_flat:
+        Xp = extract_patches_flat(x, psz, strides)  # (ntx, nh, nw, dim)
+        Yp = extract_patches_flat(y, psz, strides)
+        ntx, nh, nw, dim = Xp.shape
+        nty = Yp.shape[0]
+    else:
+        Xp8 = extract_patches_3d(x, psz, strides)
+        Yp8 = extract_patches_3d(y, psz, strides)
+        ntx, nh, nw = Xp8.shape[:3]
+        nty = Yp8.shape[0]
+        dim = int(np.prod(Xp8.shape[3:]))
+        Xp = Xp8.reshape(ntx, nh, nw, dim)
+        Yp = Yp8.reshape(nty, nh, nw, dim)
     Xf = Xp.reshape(ntx, nh * nw, dim).transpose(1, 0, 2)
     Yf = Yp.reshape(nty, nh * nw, dim).transpose(1, 0, 2)
     nns = nn_indices(Xf, Yf, alpha, dist_fn)       # (B, ntx)
     sel = jnp.take_along_axis(Yf, nns[..., None], axis=1)  # (B, ntx, dim)
     sel = sel.transpose(1, 0, 2).reshape(ntx, nh, nw, dim)
-    return fold_patches_flat(sel, C, psz, strides)
+    if use_flat:
+        return fold_patches_flat(sel, C, psz, strides)
+    return fold_patches_3d(
+        sel.reshape((ntx, nh, nw) + Xp8.shape[3:]), x.shape[1:], strides)
 
 
 # ---------------------------------------------------------------------------

@@ -87,11 +87,21 @@ def sharded_gpnn_lowmem(x_scaled, y, *, patch_size, patcht_size, stride,
         x_ext = xs
     ys = jax.lax.stop_gradient(y)
 
+    use_flat = jax.default_backend() != "cpu"
+
     def crop_retarget(xc, yc):
         """One macro crop: local temporal NN + fold (numerator only)."""
-        Xp = pnl.extract_patches_flat(xc, psz, strides)  # (Fl,nh,nw,dim)
-        Yp = pnl.extract_patches_flat(yc, psz, strides)
-        ntx, nh, nw, dim = Xp.shape
+        if use_flat:
+            Xp = pnl.extract_patches_flat(xc, psz, strides)
+            Yp = pnl.extract_patches_flat(yc, psz, strides)
+            ntx, nh, nw, dim = Xp.shape
+        else:
+            Xp8 = pnl.extract_patches_3d(xc, psz, strides)
+            Yp8 = pnl.extract_patches_3d(yc, psz, strides)
+            ntx, nh, nw = Xp8.shape[:3]
+            dim = int(np.prod(Xp8.shape[3:]))
+            Xp = Xp8.reshape(ntx, nh, nw, dim)
+            Yp = Yp8.reshape(Yp8.shape[0], nh, nw, dim)
         nty = Yp.shape[0]
         Xf = Xp.reshape(ntx, nh * nw, dim).transpose(1, 0, 2)
         Yf = Yp.reshape(nty, nh * nw, dim).transpose(1, 0, 2)
@@ -103,7 +113,11 @@ def sharded_gpnn_lowmem(x_scaled, y, *, patch_size, patcht_size, stride,
         nns = jnp.argmin(dist, axis=2)
         sel = jnp.take_along_axis(Yf, nns[..., None], axis=1)
         sel = sel.transpose(1, 0, 2).reshape(ntx, nh, nw, dim)
-        return pnl.fold_patches_flat(sel, C, psz, strides)
+        if use_flat:
+            return pnl.fold_patches_flat(sel, C, psz, strides)
+        return pnl.fold_patches_3d(
+            sel.reshape((ntx, nh, nw) + Xp8.shape[3:]),
+            (Fl + pad, xc.shape[2], xc.shape[3]), strides)
 
     x_crops = jnp.stack([x_ext[..., h0:h0 + macro, w0:w0 + macro]
                          for h0 in hs for w0 in ws])

@@ -312,6 +312,18 @@ def train(args, progress_cb=None):
             save_texture_preview(model, params,
                                  os.path.join(rundir,
                                               f"texture_epoch_{epoch:04d}"))
+            from videoloop3d_tpu.export.mesh_export import (
+                save_mesh_preview, full_tile_map)
+            if model.is_sparse:
+                save_mesh_preview(model.geom, model.tile_map_static,
+                                  model.tile_map_dyn,
+                                  os.path.join(
+                                      rundir, f"mesh_epoch_{epoch:04d}"))
+            else:
+                save_mesh_preview(model.geom, full_tile_map(model.geom),
+                                  None,
+                                  os.path.join(
+                                      rundir, f"mesh_epoch_{epoch:04d}"))
             save_loopmask_preview(model, params,
                                   os.path.join(
                                       rundir,

@@ -400,6 +400,17 @@ def train(args, progress_cb=None):
                 write_video(os.path.join(
                     rundir, f"l{pyr_i}_{epoch:04d}_rgb.mp4"),
                     to8b(np.stack(frames)), fps=fps)
+                from videoloop3d_tpu.export.mesh_export import (
+                    save_mesh_preview, full_tile_map)
+                if model.is_sparse:
+                    save_mesh_preview(
+                        model.geom, model.tile_map_static,
+                        model.tile_map_dyn,
+                        os.path.join(rundir, f"mesh_l{pyr_i}_{epoch:04d}"))
+                else:
+                    save_mesh_preview(
+                        model.geom, None, full_tile_map(model.geom),
+                        os.path.join(rundir, f"mesh_l{pyr_i}_{epoch:04d}"))
             epoch_total += 1
 
     prof.close()
