@@ -144,25 +144,29 @@ def main():
     t0 = time.perf_counter()
     params, opt_state, m = step(params, opt_state, batch,
                                 jnp.asarray(0.01), weights, rng)
-    jax.block_until_ready((params, opt_state, m))
+    _ = float(m["loss"])
     compile_s = time.perf_counter() - t0
     params, opt_state, m = step(params, opt_state, batch,
                                 jnp.asarray(0.01), weights, rng)
-    jax.block_until_ready((params, opt_state, m))
+    _ = float(m["loss"])
 
-    # steady-state throughput: N steps between two barriers (per-step
-    # block_until_ready is unreliable on the tunneled axon platform)
-    losses = []
-    t0 = time.perf_counter()
+    # per-step latency with a real host sync each iteration
+    # (block_until_ready alone is unreliable on the tunneled axon
+    # platform, and long async chains of donated steps stall its
+    # scheduler — fetching the loss each step is both what the trainer's
+    # logging cadence does and what measures honestly here)
+    lr = jnp.asarray(0.01, jnp.float32)
+    times = []
     for i in range(opts.iters):
-        params, opt_state, m = step(params, opt_state, batch,
-                                    jnp.asarray(0.01), weights, rng)
-        losses.append(m["loss"])
-    _ = [float(v) for v in losses]        # device->host sync on real data
-    step_ms = (time.perf_counter() - t0) / opts.iters * 1000
+        t0 = time.perf_counter()
+        params, opt_state, m = step(params, opt_state, batch, lr,
+                                    weights, rng)
+        _ = float(m["loss"])              # device->host sync on real data
+        times.append(time.perf_counter() - t0)
+    step_ms = float(np.median(times)) * 1000
     if opts.verbose:
-        print(f"compile {compile_s:.1f}s, {opts.iters} steps "
-              f"-> {step_ms:.0f} ms/step", file=sys.stderr)
+        print(f"compile {compile_s:.1f}s, per-step "
+              f"{[round(t, 2) for t in times]}", file=sys.stderr)
 
     metric = "stage2_step_time_quick" if opts.quick else "stage2_step_time"
     if opts.bf16:

@@ -7,6 +7,7 @@ real DP, unlike the reference's inert single-GPU `nn.DataParallel`
 """
 from __future__ import annotations
 
+
 import functools
 
 import jax
@@ -51,6 +52,12 @@ def make_dp_stage2_step(model, args, ph, pw, losscfg, mesh):
         out_specs=(P(), P(), P()),
         check_vma=False)
 
+    # Memory note: the production-scale step is near the 16GB HBM edge;
+    # overflow on the axon runtime manifests as silent host paging
+    # (steps degrade 1.3s -> 17-50s) or ResourceExhausted.  Two levers
+    # keep it comfortably inside: buffer donation (params/opt updated in
+    # place) and rematerializing the render in the backward pass (see
+    # make_patch_loss_fn).
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, batch, lr, weights, rng):
         return mapped(params, opt_state, batch, lr, weights, rng)

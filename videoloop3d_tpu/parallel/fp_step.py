@@ -25,6 +25,7 @@ frm_num % fp_size == 0 with frm_num/fp >= patcht-1.
 """
 from __future__ import annotations
 
+
 import functools
 
 import jax
@@ -203,10 +204,14 @@ def make_fp_stage2_step(model, args, ph, pw, losscfg, mesh,
                  "video": batch["video"][0]}
         rng = jax.random.fold_in(rng, jax.lax.axis_index("dp"))
 
+        render_remat = jax.checkpoint(
+            lambda p_, e_, i_: local_model.render(p_, ph, pw, e_, i_,
+                                                  None, training=True,
+                                                  rng=rng))
+
         def loss_fn(p):
-            rgb, variables = local_model.render(
-                p, ph, pw, local["extrin"], local["intrin"], None,
-                training=True, rng=rng)
+            rgb, variables = render_remat(p, local["extrin"],
+                                          local["intrin"])
             x = jnp.transpose(rgb, (3, 0, 1, 2))        # (3, Fl, h, w)
             if args.scale_invariant:
                 res_avg = jnp.mean(local["video"], axis=0)
@@ -249,6 +254,12 @@ def make_fp_stage2_step(model, args, ph, pw, losscfg, mesh,
         out_specs=(param_spec, opt_spec, P()),
         check_vma=False)
 
+    # Memory note: the production-scale step is near the 16GB HBM edge;
+    # overflow on the axon runtime manifests as silent host paging
+    # (steps degrade 1.3s -> 17-50s) or ResourceExhausted.  Two levers
+    # keep it comfortably inside: buffer donation (params/opt updated in
+    # place) and rematerializing the render in the backward pass (see
+    # make_patch_loss_fn).
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, batch, lr, weights, rng):
         return mapped(params, opt_state, batch, lr, weights, rng)

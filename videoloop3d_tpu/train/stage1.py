@@ -7,8 +7,9 @@ by a host loop that owns data, schedules, events and artifacts.
 """
 from __future__ import annotations
 
-import functools
 import os
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -33,6 +34,12 @@ def make_train_step(model: MPMesh, args, h, w):
     weight_keys = ("sparsity", "rgb_smooth", "a_smooth", "d_smooth",
                    "l_smooth", "density")
 
+    # Memory note: the production-scale step is near the 16GB HBM edge;
+    # overflow on the axon runtime manifests as silent host paging
+    # (steps degrade 1.3s -> 17-50s) or ResourceExhausted.  Two levers
+    # keep it comfortably inside: buffer donation (params/opt updated in
+    # place) and rematerializing the render in the backward pass (see
+    # make_patch_loss_fn).
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, batch, lr, weights, rng):
         def loss_fn(p):

@@ -9,8 +9,9 @@ target under stop_gradient, and applies robust loss + regularizers.
 """
 from __future__ import annotations
 
-import functools
 import os
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -85,10 +86,15 @@ def make_patch_loss_fn(model: MPMeshVid, args, ph, pw, losscfg):
     pad_frames = (cfg["patcht_size"] - 1) if model.isloop else 0
     ts = None      # train on all frames; None skips the frame gather
 
+    # remat: recompute the render in the backward pass instead of
+    # storing its activations (the (D,h,w,F) stacks dominate HBM)
+    @jax.checkpoint
+    def _render(p, extrin, intrin, rng):
+        return model.render(p, ph, pw, extrin, intrin, ts,
+                            training=True, rng=rng)
+
     def loss_fn(p, batch, weights, rng):
-        rgb, variables = model.render(
-            p, ph, pw, batch["extrin"], batch["intrin"], ts,
-            training=True, rng=rng)
+        rgb, variables = _render(p, batch["extrin"], batch["intrin"], rng)
         x = jnp.transpose(rgb, (3, 0, 1, 2))          # (3, F, h, w)
         if pad_frames > 0:                            # loop closure pad
             x = jnp.concatenate([x, x[:, :pad_frames]], axis=1)
@@ -124,6 +130,12 @@ def make_stage2_step(model: MPMeshVid, args, ph, pw, losscfg):
     group_fn = opt_lib.make_group_fn(args.optimize_verts_gain)
     loss_fn = make_patch_loss_fn(model, args, ph, pw, losscfg)
 
+    # Memory note: the production-scale step is near the 16GB HBM edge;
+    # overflow on the axon runtime manifests as silent host paging
+    # (steps degrade 1.3s -> 17-50s) or ResourceExhausted.  Two levers
+    # keep it comfortably inside: buffer donation (params/opt updated in
+    # place) and rematerializing the render in the backward pass (see
+    # make_patch_loss_fn).
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, batch, lr, weights, rng):
         grads, metrics = jax.grad(
