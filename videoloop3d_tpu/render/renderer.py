@@ -23,8 +23,7 @@ import jax.numpy as jnp
 
 from videoloop3d_tpu.core import planes as plane_math
 from videoloop3d_tpu.models.geometry import MPIGeometry
-from videoloop3d_tpu.render.sample import (
-    bilinear_planes, bilinear_tiles, bilinear_tiles_video)
+from videoloop3d_tpu.render.sample import bilinear_planes, bilinear_tiles
 
 
 class WarpCoords(NamedTuple):
@@ -98,14 +97,6 @@ def sample_sparse(tiles, k, fu, fv):
     Returns ((B,D,H,W,C) values, (B,D,H,W) hit-mask)."""
     th, tw = tiles.shape[1], tiles.shape[2]
     vals, hit = bilinear_tiles(tiles, k, fu * (tw - 1), fv * (th - 1))
-    return vals, hit
-
-
-def sample_sparse_video(tiles, k, fu, fv):
-    """Gather frame-stacked packed tiles: tiles (F, N, th, tw, C).
-    Returns ((F,B,D,H,W,C) values, (B,D,H,W) hit-mask)."""
-    th, tw = tiles.shape[2], tiles.shape[3]
-    vals, hit = bilinear_tiles_video(tiles, k, fu * (tw - 1), fv * (th - 1))
     return vals, hit
 
 

@@ -187,47 +187,3 @@ def bilinear_planes_tilemajor(tex, x, y):
     values = top * (1 - fy) + bot * fy
     inside = (x >= 0) & (x <= Wt - 1) & (y >= 0) & (y <= Ht - 1)
     return values, inside
-
-
-def bilinear_tiles_video(tiles, tile_idx, u, v):
-    """Like `bilinear_tiles` but over a leading frame axis.
-
-    Args:
-      tiles: (F, N, th, tw, C) — e.g. the dynamic tile textures at the
-        frames being rendered.
-      tile_idx, u, v: (...,) shared across frames (geometry is static).
-
-    Returns values (F, ..., C) and valid (...,).
-    """
-    F, N, th, tw, C = tiles.shape
-    valid = tile_idx >= 0
-    if N == 0:                       # fully-culled branch (static shape)
-        return (jnp.zeros((F,) + tile_idx.shape + (C,), tiles.dtype), valid)
-    k = jnp.maximum(tile_idx, 0)
-    u = jnp.clip(u, 0.0, tw - 1.0)
-    v = jnp.clip(v, 0.0, th - 1.0)
-    u0 = jnp.floor(u)
-    v0 = jnp.floor(v)
-    fu = (u - u0)[..., None]
-    fv = (v - v0)[..., None]
-    u0i = u0.astype(jnp.int32)
-    v0i = v0.astype(jnp.int32)
-    u1i = jnp.minimum(u0i + 1, tw - 1)
-    v1i = jnp.minimum(v0i + 1, th - 1)
-
-    flat = tiles.reshape(F, N * th * tw, C)
-    base = (k * (th * tw)).reshape(-1)
-
-    def corner(ui, vi):
-        idx = base + (vi * tw + ui).reshape(-1)          # (M,)
-        g = jnp.take(flat, idx, axis=1)                   # (F, M, C)
-        return g.reshape((F,) + u.shape + (C,))
-
-    v00 = corner(u0i, v0i)
-    v01 = corner(u1i, v0i)
-    v10 = corner(u0i, v1i)
-    v11 = corner(u1i, v1i)
-    top = v00 * (1 - fu) + v01 * fu
-    bot = v10 * (1 - fu) + v11 * fu
-    values = top * (1 - fv) + bot * fv
-    return values * valid[..., None], valid
