@@ -112,6 +112,18 @@ def evaluate(args, crop=40, compute_flags=None):
     if flags["dyn"]:
         dyns = [M.dynamics_error(videos[vi], preds[vi]) for vi in range(V)]
 
+    svfids = [0.0] * V
+    if flags.get("svfid"):
+        from videoloop3d_tpu.eval.svfid import C3DFeatures, svfid
+        c3d = C3DFeatures()
+        if c3d.available:
+            svfids = [svfid(c3d, videos[vi].astype(np.float32),
+                            preds[vi].astype(np.float32))
+                      for vi in range(V)]
+            print(f"[eval] svfid: {svfids}")
+        else:
+            print("[eval] C3D weights unavailable - skipping SVFID")
+
     if flags["lpips"]:
         net = LPIPS()
         if net.available:
@@ -210,4 +222,5 @@ def evaluate(args, crop=40, compute_flags=None):
     print(f"[eval] wrote {out_path}")
     return {"psnr": static_psnr, "ssim": static_ssim, "dyn": dyns,
             "lpips": lpips_v, "lpips_sw": lpips_sw, "loopq": loop_q,
-            "nnf": nn_fwd, "nnb": nn_bwd, "path": out_path}
+            "nnf": nn_fwd, "nnb": nn_bwd, "svfid": svfids,
+            "path": out_path}

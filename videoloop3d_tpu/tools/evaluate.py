@@ -1,19 +1,36 @@
 """Evaluation CLI (counterpart of reference scripts/script_evaluate_ours.py).
 
     python -m videoloop3d_tpu.tools.evaluate --config ... --config1 ...
+        [--skip static,lpips,...] [--with_svfid]
+
+Metric groups mirror the reference's COMPUTE_* flags
+(script_evaluate_ours.py:25-30): static, dyn, lpips, nnmse, loopq,
+svfid (svfid off by default there too).
 """
 from __future__ import annotations
 
 import numpy as np
 
-from videoloop3d_tpu.config import parse_args_with_configs
+from videoloop3d_tpu.config import build_parser, parse_args_with_configs
 from videoloop3d_tpu.eval.evaluate import evaluate
 
 
 def main(argv=None):
-    args = parse_args_with_configs(argv)
+    parser = build_parser()
+    parser.add_argument("--skip", type=str, default="",
+                        help="comma list of metric groups to skip: "
+                             "static,dyn,lpips,nnmse,loopq")
+    parser.add_argument("--with_svfid", action="store_true",
+                        help="compute SVFID (needs VL3D_C3D_WEIGHTS)")
+    args = parse_args_with_configs(argv, parser)
     np.random.seed(args.seed)
-    evaluate(args)
+    flags = {}
+    for name in args.skip.split(","):
+        if name.strip():
+            flags[name.strip()] = False
+    if args.with_svfid:
+        flags["svfid"] = True
+    evaluate(args, compute_flags=flags or None)
 
 
 if __name__ == "__main__":
