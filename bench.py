@@ -146,9 +146,12 @@ def main():
                                 jnp.asarray(0.01), weights, rng)
     _ = float(m["loss"])
     compile_s = time.perf_counter() - t0
-    params, opt_state, m = step(params, opt_state, batch,
-                                jnp.asarray(0.01), weights, rng)
-    _ = float(m["loss"])
+    # several warmups: the donation-aliased executable variant only
+    # engages once outputs start feeding back as (donated) inputs
+    for _ in range(3):
+        params, opt_state, m = step(params, opt_state, batch,
+                                    jnp.asarray(0.01), weights, rng)
+        _ = float(m["loss"])
 
     # per-step latency with a real host sync each iteration
     # (block_until_ready alone is unreliable on the tunneled axon
