@@ -1,0 +1,50 @@
+import pytest
+
+from videoloop3d_tpu import config as C
+
+
+def test_two_level_override(tmp_path):
+    base = tmp_path / "base.txt"
+    base.write_text("lrate = 0.1\nmpi_d = 16\nscale_invariant\n")
+    scene = tmp_path / "scene.txt"
+    scene.write_text("lrate = 0.5\nexpname = foo\n")
+    args = C.parse_args_with_configs(
+        ["--config", str(base), "--config1", str(scene)])
+    assert args.lrate == 0.5          # scene overrides base
+    assert args.mpi_d == 16
+    assert args.scale_invariant
+    assert args.expname == "foo"
+
+
+def test_cli_overrides_files(tmp_path):
+    base = tmp_path / "base.txt"
+    base.write_text("lrate = 0.1\n")
+    args = C.parse_args_with_configs(
+        ["--config", str(base), "--lrate", "0.9"])
+    assert args.lrate == 0.9
+
+
+def test_prefix_key_resolution(tmp_path):
+    base = tmp_path / "base.txt"
+    base.write_text("i_weight = 7\n")         # reference-config quirk
+    args = C.parse_args_with_configs(["--config", str(base)])
+    assert args.i_weights == 7
+
+
+def test_ambiguous_key_rejected(tmp_path):
+    base = tmp_path / "base.txt"
+    base.write_text("swd_patch_size = 3\n")   # exact name, fine
+    C.parse_args_with_configs(["--config", str(base)])
+    base.write_text("swd_patch = 3\n")        # prefix of _size and _size_ref
+    with pytest.raises(KeyError):
+        C.parse_args_with_configs(["--config", str(base)])
+
+
+def test_evaluate_cli_flags_parse():
+    from videoloop3d_tpu.config import build_parser
+    parser = build_parser()
+    parser.add_argument("--skip", type=str, default="")
+    parser.add_argument("--with_svfid", action="store_true")
+    args = C.parse_args_with_configs(
+        ["--skip", "lpips,nnmse", "--with_svfid"], parser)
+    assert args.skip == "lpips,nnmse" and args.with_svfid
