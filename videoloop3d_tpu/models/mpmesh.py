@@ -112,6 +112,7 @@ class MPMeshConfig:
     alpha_activate: str = "sigmoid"
     learn_loop_mask: bool = False
     add_uv_noise: bool = False
+    fast_stage1_grad: bool = False
     bg_color: str = ""
     edge_scale: float = 4.0
     normalize_blendweight_fordepth: bool = False
@@ -135,6 +136,8 @@ class MPMeshConfig:
             alpha_activate=args.alpha_activate,
             learn_loop_mask=bool(args.learn_loop_mask),
             add_uv_noise=bool(args.add_uv_noise),
+            fast_stage1_grad=bool(getattr(args, "fast_stage1_grad",
+                                          False)),
             bg_color=args.bg_color,
             edge_scale=float(args.edge_scale),
             normalize_blendweight_fordepth=bool(
@@ -264,7 +267,22 @@ class MPMesh:
             sample_coords = R.add_texel_noise(coords, sub)
 
         decoder = params.get("decoder")
-        if not self.is_sparse:
+        use_adjoint = (self.cfg.fast_stage1_grad and training
+                       and not self.is_sparse
+                       and not (self.cfg.add_uv_noise and rng is not None))
+        if use_adjoint:
+            # gather-based atlas gradient (exact; render/adjoint.py)
+            from videoloop3d_tpu.render import adjoint as ADJ
+            M = ADJ.forward_projection(
+                self.geom.depths_np(), self.geom.ref_intrin_mpi_np(),
+                extrins, intrins)
+            rect = ADJ.rect_size_for(self.geom, h, w, (self.H, self.W))
+            feats = ADJ.sample_dense_adjoint(
+                params["atlas"], sample_coords.x, sample_coords.y, M,
+                rect, 5)
+            rgb_p, alpha_p = self._decode(feats, coords, intrins, extrins,
+                                          decoder)
+        elif not self.is_sparse:
             feats = R.sample_dense(params["atlas"], sample_coords)
             rgb_p, alpha_p = self._decode(feats, coords, intrins, extrins,
                                           decoder)
@@ -301,7 +319,14 @@ class MPMesh:
 
         rgbl = out_rgb
         if cfg.learn_loop_mask and not self.is_sparse:
-            mask_feats = R.sample_dense(params["atlas_mask"], sample_coords)
+            if use_adjoint:
+                from videoloop3d_tpu.render import adjoint as ADJ
+                mask_feats = ADJ.sample_dense_adjoint(
+                    params["atlas_mask"], sample_coords.x,
+                    sample_coords.y, M, rect, 5)
+            else:
+                mask_feats = R.sample_dense(params["atlas_mask"],
+                                            sample_coords)
             label_p = jax.nn.sigmoid(mask_feats[..., 0])
             label_p = jnp.where(coords.valid, label_p, 0.0)
             # loop-mask composite uses DETACHED alpha (ref MPI.py:578)
