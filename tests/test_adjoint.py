@@ -89,3 +89,52 @@ def test_adjoint_matches_autodiff_oblique_and_lod():
     g_adj = np.asarray(jax.grad(loss_adj)(atlas2))
     err = np.abs(g_auto - g_adj).max()
     assert err < 1e-4, err
+
+
+def test_block_matmul_adjoint_matches_autodiff():
+    geom, atlas, ext, intrin, rng, (h, w) = _setup(seed=7)
+    coords = R.warp_coordinates(geom, ext, intrin, h, w)
+    M = A.forward_projection(geom.depths_np(), geom.ref_intrin_mpi_np(),
+                             ext, intrin)
+    ct = jnp.asarray(rng.random((1, 3, h, w, 4), dtype=np.float32))
+    block_hw, tb_hw = A.block_plan_for(geom, h, w, (h, w))
+
+    def loss_auto(a):
+        return jnp.sum(R.sample_dense(a, coords) * ct)
+
+    def loss_adj(a):
+        return jnp.sum(A.sample_dense_blockadj(
+            a, coords.x, coords.y, M, block_hw, tb_hw) * ct)
+
+    assert np.isclose(float(loss_auto(atlas)), float(loss_adj(atlas)),
+                      rtol=1e-5)
+    g_auto = np.asarray(jax.grad(loss_auto)(atlas))
+    g_adj = np.asarray(jax.grad(loss_adj)(atlas))
+    err = np.abs(g_auto - g_adj).max()
+    assert err < 1e-4, err
+
+
+def test_block_matmul_adjoint_oblique_partial_coverage():
+    """Oblique view where part of the patch falls outside the atlas —
+    invalid samples must not poison the block bboxes."""
+    geom, atlas, ext, intrin, rng, (h, w) = _setup(seed=9)
+    ext = np.asarray(ext).copy()
+    ext[0, :3, 3] = [1.5, 0.9, 0.2]       # push much of the patch off-plane
+    ext = jnp.asarray(ext)
+    coords = R.warp_coordinates(geom, ext, intrin, h, w)
+    M = A.forward_projection(geom.depths_np(), geom.ref_intrin_mpi_np(),
+                             ext, intrin)
+    ct = jnp.asarray(rng.random((1, 3, h, w, 4), dtype=np.float32))
+    block_hw, tb_hw = A.block_plan_for(geom, h, w, (h, w))
+
+    def loss_auto(a):
+        return jnp.sum(R.sample_dense(a, coords) * ct)
+
+    def loss_adj(a):
+        return jnp.sum(A.sample_dense_blockadj(
+            a, coords.x, coords.y, M, block_hw, tb_hw) * ct)
+
+    g_auto = np.asarray(jax.grad(loss_auto)(atlas))
+    g_adj = np.asarray(jax.grad(loss_adj)(atlas))
+    err = np.abs(g_auto - g_adj).max()
+    assert err < 1e-4, err

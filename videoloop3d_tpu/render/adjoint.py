@@ -122,6 +122,135 @@ def _adjoint_atlas_grad(ct, x, y, M, atlas_hw, rect_hw, window):
     return atlas_grad
 
 
+def _block_matmul_atlas_grad(ct, x, y, atlas_hw, block_hw, tb_hw):
+    """Block-matmul gradient assembly (no gathers, no scatters).
+
+    Tile the patch into static pixel blocks; per (view, plane, block):
+      1. the block's texel bounding box (from masked min of the saved
+         sample coords) positions a STATIC local texel grid (tb_hw);
+      2. the bilinear weight of every (pixel, texel) pair in the block x
+         local-grid outer product is computed densely on the VPU —
+         w = (1-|sx-tx|)+ * (1-|sy-ty|)+ is exactly the sum of the 4
+         corner weights;
+      3. grad_block = w^T @ ct_block is an MXU matmul;
+      4. blocks accumulate into the atlas gradient with
+         dynamic-slice adds (a scan; blocks overlap only by the window
+         margin).
+
+    Exact iff the local grid covers the block's sample spread — tb_hw
+    must be >= warp_scale * block extent + 4 (checked by the caller via
+    a static margin; out-of-plane samples are excluded from the bbox and
+    naturally receive zero weight).
+
+    ct: (B, D, h, w, C); x, y: (B, D, h, w).
+    Returns (D, Ht, Wt, C).
+    """
+    B, D, h, w, C = ct.shape
+    Ht, Wt = atlas_hw
+    bh, bw = block_hw
+    tbh, tbw = tb_hw
+    assert h % bh == 0 and w % bw == 0, (h, w, block_hw)
+    nbh, nbw = h // bh, w // bw
+
+    def blockify(a):
+        # (B, D, h, w, ...) -> (B*D*nbh*nbw, bh*bw, ...)
+        trail = a.shape[4:]
+        a = a.reshape(B, D, nbh, bh, nbw, bw) if not trail else \
+            a.reshape((B, D, nbh, bh, nbw, bw) + trail)
+        a = jnp.moveaxis(a, 4, 3)          # (B, D, nbh, nbw, bh, bw, ...)
+        return a.reshape((B * D * nbh * nbw, bh * bw) + trail)
+
+    xs = blockify(x)
+    ys = blockify(y)
+    cts = blockify(ct)
+
+    def per_block(sx, sy, ctb):
+        valid = (sx > -1.0) & (sx < Wt) & (sy > -1.0) & (sy < Ht)
+        big = jnp.float32(1e9)
+        x0 = jnp.floor(jnp.min(jnp.where(valid, sx, big))).astype(jnp.int32)
+        y0 = jnp.floor(jnp.min(jnp.where(valid, sy, big))).astype(jnp.int32)
+        any_valid = jnp.any(valid)
+        x0 = jnp.clip(jnp.where(any_valid, x0 - 1, 0), 0,
+                      max(Wt - tbw, 0))
+        y0 = jnp.clip(jnp.where(any_valid, y0 - 1, 0), 0,
+                      max(Ht - tbh, 0))
+        tx = (x0 + jnp.arange(tbw)).astype(jnp.float32)     # (tbw,)
+        ty = (y0 + jnp.arange(tbh)).astype(jnp.float32)     # (tbh,)
+        # separable per-axis weights; contract in two steps so the
+        # (P, tbh, tbw) outer product is never materialized:
+        #   grad[th, tw, c] = sum_p wy[p,th] * wx[p,tw] * ct[p,c]
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(sx[:, None] - tx[None]))
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(sy[:, None] - ty[None]))
+        wy = wy * jnp.where(any_valid, 1.0, 0.0)
+        hi = jax.lax.Precision.HIGHEST
+        tmp = jnp.einsum("ph,pc->phc", wy, ctb, precision=hi)
+        grad = jnp.einsum("pw,phc->hwc", wx, tmp, precision=hi)
+        return grad, y0, x0
+
+    grads, y0s, x0s = jax.lax.map(
+        lambda t: per_block(*t), (xs, ys, cts), batch_size=256)
+
+    d_idx = jnp.broadcast_to(
+        jnp.arange(D, dtype=jnp.int32)[None, :, None],
+        (B, D, nbh * nbw)).reshape(-1)
+
+    atlas_grad = jnp.zeros((D, Ht, Wt, C), jnp.float32)
+
+    def add_one(carry, inp):
+        g, y0, x0, d = inp
+        upd = jax.lax.dynamic_slice(carry, (d, y0, x0, 0),
+                                    (1, tbh, tbw, C))
+        return jax.lax.dynamic_update_slice(
+            carry, upd + g[None], (d, y0, x0, 0)), 0
+
+    atlas_grad, _ = jax.lax.scan(add_one, atlas_grad,
+                                 (grads, y0s, x0s, d_idx))
+    return atlas_grad
+
+
+def block_plan_for(geom, h, w, image_hw, block_hw=(16, 32), margin=1.35):
+    """Static (block_hw, tb_hw) covering the warp spread.  The local
+    texel grid must span scale*block + bilinear margin."""
+    sy = geom.mpi_h / image_hw[0] * margin
+    sx = geom.mpi_w / image_hw[1] * margin
+    bh = min(block_hw[0], h)
+    bw = min(block_hw[1], w)
+    # shrink blocks until they divide the patch
+    while h % bh:
+        bh -= 1
+    while w % bw:
+        bw -= 1
+    tbh = min(int(bh * sy) + 6, geom.mpi_h)
+    tbw = min(int(bw * sx) + 6, geom.mpi_w)
+    return (bh, bw), (tbh, tbw)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def sample_dense_blockadj(atlas, x, y, M, block_hw, tb_hw):
+    """`sample_dense` with the block-matmul backward (M unused in the
+    backward; kept for interface symmetry and future use)."""
+    B, D, h, w = x.shape
+    vals, _ = jax.vmap(
+        lambda xx, yy: bilinear_planes(atlas, xx, yy))(
+            x.reshape(B, D, h * w), y.reshape(B, D, h * w))
+    return vals.reshape(B, D, h, w, atlas.shape[-1])
+
+
+def _badj_fwd(atlas, x, y, M, block_hw, tb_hw):
+    return sample_dense_blockadj(atlas, x, y, M, block_hw, tb_hw), \
+        (atlas.shape, x, y, M)
+
+
+def _badj_bwd(block_hw, tb_hw, res, ct):
+    atlas_shape, x, y, M = res
+    g = _block_matmul_atlas_grad(ct, x, y, atlas_shape[1:3], block_hw,
+                                 tb_hw)
+    return (g, jnp.zeros_like(x), jnp.zeros_like(y), jnp.zeros_like(M))
+
+
+sample_dense_blockadj.defvjp(_badj_fwd, _badj_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def sample_dense_adjoint(atlas, x, y, M, rect_hw, window):
     """Like render.sample_dense but with the gather-based backward.
