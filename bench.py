@@ -30,7 +30,7 @@ import numpy as np
 BASELINE_STEP_MS = 1800.0
 
 
-def build_bench_setup(quick=False):
+def build_bench_setup(quick=False, fast_grad=False):
     import jax.numpy as jnp
     from videoloop3d_tpu.config import parse_args_with_configs
     from videoloop3d_tpu.models.mpv import MPMeshVid
@@ -52,6 +52,8 @@ def build_bench_setup(quick=False):
             "--lrate", "0.5", "--lrate_decay", "100", "--lrate_adaptive",
             "--rgb_smooth_loss_weight", "0.2",
             "--a_smooth_loss_weight", "0.2"]
+    if fast_grad:
+        argv.append("--fast_stage2_grad")
     args = parse_args_with_configs(argv)
 
     ref_extrin = np.eye(4, dtype=np.float32)
@@ -115,6 +117,9 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--fast_grad", action="store_true",
+                    help="bench with --fast_stage2_grad (per-tile "
+                         "adjoint backward)")
     opts = ap.parse_args()
 
     if opts.cpu:
@@ -126,7 +131,7 @@ def main():
     from videoloop3d_tpu.train.stage2 import make_stage2_step
 
     model, args, params, batch, losscfg, (ph, pw), info = \
-        build_bench_setup(opts.quick)
+        build_bench_setup(opts.quick, fast_grad=opts.fast_grad)
     if opts.bf16:
         model.gather_dtype = jnp.bfloat16
     if opts.verbose:

@@ -138,3 +138,118 @@ def test_block_matmul_adjoint_oblique_partial_coverage():
     g_adj = np.asarray(jax.grad(loss_adj)(atlas))
     err = np.abs(g_auto - g_adj).max()
     assert err < 1e-4, err
+
+
+def test_tile_adjoint_matches_autodiff():
+    """Per-tile packed adjoint == autodiff for both the static (4-D) and
+    the tile-major dynamic (5-D) samplers, with partial culling and an
+    oblique view."""
+    from videoloop3d_tpu.render.sample import (bilinear_tiles,
+                                               bilinear_tiles_tilemajor)
+    geom, _, ext, intrin, rng, (h, w) = _setup()
+    coords = R.warp_coordinates(geom, ext, intrin, h, w)
+
+    tile_map = np.full((geom.n_planes, geom.n_tiles_h, geom.n_tiles_w),
+                       -1, np.int32)
+    keep = rng.random(tile_map.shape) < 0.7
+    tile_map[keep] = np.arange(keep.sum(), dtype=np.int32)
+    n = int(keep.sum())
+    th, tw = geom.default_tile_texels()
+
+    k, fu, fv = R.tile_lookup(geom, jnp.asarray(tile_map), coords)
+    u = (fu * (tw - 1))[0]
+    v = (fv * (th - 1))[0]
+    k0 = k[0]
+    M = A.forward_projection(geom.depths_np(), geom.ref_intrin_mpi_np(),
+                             ext, intrin)[0]
+    samp = A.make_tile_adjoint(A.tile_positions(tile_map), geom.tile_span,
+                               A.tile_window_for(geom, (h, w)))
+
+    for frames in (None, 3):
+        shape = (n, th, tw, 4) if frames is None else (n, th, tw, frames, 4)
+        tiles = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+        ct = jnp.asarray(
+            rng.standard_normal(k0.shape + shape[3:]).astype(np.float32))
+
+        def loss_auto(t):
+            if frames is None:
+                vals, _ = bilinear_tiles(t, k0, u, v)
+            else:
+                vals, _ = bilinear_tiles_tilemajor(t, k0, u, v)
+            return jnp.sum(vals * ct)
+
+        def loss_adj(t):
+            vals, _ = samp(t, k0, u, v, M)
+            return jnp.sum(vals * ct)
+
+        assert np.isclose(float(loss_auto(tiles)), float(loss_adj(tiles)),
+                          rtol=1e-5)
+        g_auto = np.asarray(jax.grad(loss_auto)(tiles))
+        g_adj = np.asarray(jax.grad(loss_adj)(tiles))
+        err = np.abs(g_auto - g_adj).max()
+        rel = err / (np.abs(g_auto).max() + 1e-12)
+        assert rel < 1e-5, (frames, rel)
+
+
+def test_fast_stage2_grad_render_equivalence():
+    """MPMeshVid render gradients with --fast_stage2_grad on == off."""
+    from videoloop3d_tpu.config import parse_args_with_configs
+    from videoloop3d_tpu.models.mpv import MPMeshVid
+
+    rng = np.random.default_rng(3)
+    h, w = 24, 32
+    intrin = np.array([[30.0, 0, w / 2], [0, 30.0, h / 2], [0, 0, 1]],
+                      np.float32)
+
+    def build(fast):
+        argv = ["--datadir", "x", "--expname", "x",
+                "--mpi_h_scale", "1.2", "--mpi_w_scale", "1.2",
+                "--mpi_h_verts", "4", "--mpi_w_verts", "5",
+                "--mpi_d", "3", "--mpv_frm_num", "5", "--mpv_isloop"]
+        if fast:
+            argv.append("--fast_stage2_grad")
+        args = parse_args_with_configs(argv)
+        model = MPMeshVid(args, h, w, np.eye(4, dtype=np.float32),
+                          intrin, 1.5, 6.0)
+        g = model.geom
+        tm_s = np.arange(g.n_planes * g.n_tiles_h * g.n_tiles_w,
+                         dtype=np.int32).reshape(g.n_planes, g.n_tiles_h,
+                                                 g.n_tiles_w)
+        tm_d = np.full_like(tm_s, -1)
+        keep = np.random.default_rng(5).random(tm_d.shape) < 0.6
+        tm_d[keep] = np.arange(keep.sum(), dtype=np.int32)
+        model.is_sparse = True
+        model.tile_map_static = tm_s
+        model.tile_map_dyn = tm_d
+        model.tile_hw = g.default_tile_texels()
+        model.base_tile_hw = model.tile_hw
+        return model, tm_s.size, int(keep.sum())
+
+    model_a, ns, nd = build(False)
+    model_b, _, _ = build(True)
+    th, tw = model_a.tile_hw
+    params = {
+        "atlas": jnp.asarray(
+            rng.standard_normal((ns, th, tw, 4)).astype(np.float32)),
+        "atlas_dyn": jnp.asarray(
+            rng.standard_normal((nd, th, tw, 5, 4)).astype(np.float32)),
+    }
+    ext = np.eye(4, dtype=np.float32)
+    ext[:3, 3] = [0.1, -0.05, 0.02]
+    ext = jnp.asarray(ext)[None]
+    intr = jnp.asarray(intrin)[None]
+
+    def loss(model, p):
+        out = model.render(p, h, w, ext, intr, ts=None, training=True)
+        rgb = out["rgb"] if isinstance(out, dict) else out[0]
+        return jnp.sum(rgb ** 2)
+
+    la = float(loss(model_a, params))
+    lb = float(loss(model_b, params))
+    assert np.isclose(la, lb, rtol=1e-6)
+    ga = jax.grad(lambda p: loss(model_a, p))(params)
+    gb = jax.grad(lambda p: loss(model_b, p))(params)
+    for key in ("atlas", "atlas_dyn"):
+        a, b = np.asarray(ga[key]), np.asarray(gb[key])
+        rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-12)
+        assert rel < 2e-5, (key, rel)

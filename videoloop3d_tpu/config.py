@@ -126,6 +126,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "gradient: bypasses the slow XLA scatter with "
                         "an exact gather-free formulation (2.7x step "
                         "speedup on v5e; see render/adjoint.py)")
+    p.add_argument("--fast_stage2_grad", action="store_true",
+                   help="per-tile adjoint for the stage-2 packed-tile "
+                        "gradients: replaces the scatter-add backward "
+                        "of the tile gathers with window slices + MXU "
+                        "contractions (see render/adjoint.py)")
     p.add_argument("--patch_batch", type=int, default=1,
                    help="stage-1 patches optimized jointly per step "
                         "(amortizes per-step overhead on TPU; 1 = "

@@ -113,6 +113,7 @@ class MPMeshConfig:
     learn_loop_mask: bool = False
     add_uv_noise: bool = False
     fast_stage1_grad: bool = False
+    fast_stage2_grad: bool = False
     bg_color: str = ""
     edge_scale: float = 4.0
     normalize_blendweight_fordepth: bool = False
@@ -137,6 +138,8 @@ class MPMeshConfig:
             learn_loop_mask=bool(args.learn_loop_mask),
             add_uv_noise=bool(args.add_uv_noise),
             fast_stage1_grad=bool(getattr(args, "fast_stage1_grad",
+                                          False)),
+            fast_stage2_grad=bool(getattr(args, "fast_stage2_grad",
                                           False)),
             bg_color=args.bg_color,
             edge_scale=float(args.edge_scale),

@@ -54,6 +54,9 @@ class MPMeshVid:
         # f32.  Parameters stay f32 for optimizer precision.
         self.dtype = jnp.float32
         self.gather_dtype = jnp.bfloat16 if args.fp16 else jnp.float32
+        # --fast_stage2_grad: per-tile adjoint samplers, built lazily per
+        # geometry (the lod pyramid rescales tile spans); keyed by geom.
+        self._adj_cache: dict = {}
 
     # ------------------------------------------------------------------
     # Dynamic-atlas layout: TILE-MAJOR with a trailing frame axis —
@@ -166,6 +169,24 @@ class MPMeshVid:
         return out
 
     # ------------------------------------------------------------------
+    def _adj_samplers(self):
+        """Per-tile adjoint samplers for the current geometry (cached).
+
+        See render/adjoint.py:make_tile_adjoint — the backward replaces
+        the packed-tile scatter-add with per-tile window slices + MXU
+        weight contractions; exact (tests/test_adjoint.py)."""
+        from videoloop3d_tpu.render import adjoint as ADJ
+        key = self.geom
+        if key not in self._adj_cache:
+            win = ADJ.tile_window_for(self.geom, (self.H, self.W))
+            span = self.geom.tile_span
+            self._adj_cache[key] = (
+                ADJ.make_tile_adjoint(
+                    ADJ.tile_positions(self.tile_map_static), span, win),
+                ADJ.make_tile_adjoint(
+                    ADJ.tile_positions(self.tile_map_dyn), span, win))
+        return self._adj_cache[key]
+
     def render(self, params, h, w, extrins, intrins, ts,
                training=False, rng=None):
         """Render frames `ts` from one view (B must be 1, like the
@@ -217,15 +238,30 @@ class MPMeshVid:
                 self.geom, jnp.asarray(self.tile_map_static), sample_coords)
             k_d, _, _ = R.tile_lookup(
                 self.geom, jnp.asarray(self.tile_map_dyn), sample_coords)
-            vals_s, hit_s = R.sample_sparse(
-                params["atlas"].astype(self.gather_dtype), k_s, fu, fv)
+            atlas_s = params["atlas"].astype(self.gather_dtype)
             dyn = params["atlas_dyn"].astype(self.gather_dtype)
             if ts is not None:                         # None = all frames
                 dyn = dyn[..., ts, :]                  # (Nd, th, tw, F, 4)
             th, tw = dyn.shape[1], dyn.shape[2]
-            vals_d, hit_d = bilinear_tiles_tilemajor(
-                dyn, k_d[0], fu[0] * (tw - 1), fv[0] * (th - 1))
-            rgb_s, alpha_s = decode(vals_s[0], valid0 & hit_s[0])
+            ths, tws = atlas_s.shape[1], atlas_s.shape[2]
+            if cfg.fast_stage2_grad and training:
+                from videoloop3d_tpu.render import adjoint as ADJ
+                samp_s, samp_d = self._adj_samplers()
+                M = ADJ.forward_projection(
+                    jnp.asarray(self.geom.depths),
+                    jnp.asarray(self.geom.ref_intrin_mpi),
+                    extrins, intrins)[0]
+                vals_s0, hit_s0 = samp_s(
+                    atlas_s, k_s[0], fu[0] * (tws - 1), fv[0] * (ths - 1),
+                    M)
+                vals_d, hit_d = samp_d(
+                    dyn, k_d[0], fu[0] * (tw - 1), fv[0] * (th - 1), M)
+            else:
+                vals_s, hit_s = R.sample_sparse(atlas_s, k_s, fu, fv)
+                vals_s0, hit_s0 = vals_s[0], hit_s[0]
+                vals_d, hit_d = bilinear_tiles_tilemajor(
+                    dyn, k_d[0], fu[0] * (tw - 1), fv[0] * (th - 1))
+            rgb_s, alpha_s = decode(vals_s0, valid0 & hit_s0)
             rgb_d, alpha_d = decode(vals_d, (valid0 & hit_d)[..., None])
             # (D, h, w, F, .) stacks; static broadcasts over the F axis
             hd = hit_d[..., None, None]                # (D, h, w, 1, 1)

@@ -288,3 +288,142 @@ def rect_size_for(geom, h, w, image_hw, margin=1.4):
     rh = min(int(h * sy * margin) + 8, geom.mpi_h)
     rw = min(int(w * sx * margin) + 8, geom.mpi_w)
     return rh, rw
+
+
+
+
+# ---------------------------------------------------------------------------
+# Stage-2: per-tile adjoint for packed (sparse MTV) tile textures
+# ---------------------------------------------------------------------------
+#
+# The autodiff backward of bilinear_tiles / bilinear_tiles_tilemajor is a
+# scatter-add of 4 corner cotangent rows per sample into the packed tile
+# array (~500ms of the 1.56s stage-2 step).  The per-tile adjoint inverts
+# the data flow: for every PACKED TILE, dynamic-slice the (static-size)
+# pixel window that can sample it (found by projecting the tile's quad
+# corners through the exact texel->pixel homography), keep the candidates
+# whose saved packed index k equals this tile, and contract the exact
+# bilinear weights (recomputed from the saved in-tile coords, including
+# the forward's clamping) against the cotangent rows on the MXU.  The
+# result IS the packed gradient layout — contiguous reads, zero scatters.
+#
+# Exactness requires the window to cover the tile's full pixel footprint;
+# tile_window_for() sizes it from the warp scale with margin, and
+# tests/test_adjoint.py checks the gradient against autodiff.
+
+def tile_positions(tile_map):
+    """Packed index -> (d, i, j) position array (host-side, static)."""
+    import numpy as np
+    tile_map = np.asarray(tile_map)
+    d, i, j = np.nonzero(tile_map >= 0)
+    order = tile_map[d, i, j]
+    n = int(order.max()) + 1 if order.size else 0
+    pos = np.zeros((n, 3), np.int32)
+    pos[order] = np.stack([d, i, j], axis=1)
+    return pos
+
+
+def tile_window_for(geom, image_hw, margin=2.0):
+    """Static pixel-window size covering one tile's image footprint."""
+    sy, sx = geom.tile_span
+    ext_y = sy * (image_hw[0] - 1) / max(geom.mpi_h - 1, 1)
+    ext_x = sx * (image_hw[1] - 1) / max(geom.mpi_w - 1, 1)
+    return int(max(ext_y, ext_x) * margin) + 4
+
+
+def make_tile_adjoint(tile_pos, spans, window):
+    """Build a packed-tile sampler with the per-tile adjoint backward.
+
+    tile_pos: (N, 3) host int array of packed-tile (d, i, j) positions;
+    spans: (sy, sx) tile span in MPI texel units; window: static pixel
+    window size.  Returns ``f(tiles, k, u, v, M) -> (values, hit)`` with
+    the same forward semantics as bilinear_tiles (tiles 4-D) or
+    bilinear_tiles_tilemajor (tiles 5-D):
+      tiles: (N, th, tw, C) or (N, th, tw, F, C)
+      k: (D, h, w) packed index per sample (-1 = miss)
+      u, v: (D, h, w) in-tile texel coords (pre-clamping)
+      M: (D, 3, 3) texel->pixel projection (forward_projection()[0]).
+    Gradients flow to `tiles` only (geometry is non-differentiable,
+    consistent with sample_dense_blockadj)."""
+    import numpy as np
+
+    from videoloop3d_tpu.render.sample import (bilinear_tiles,
+                                               bilinear_tiles_tilemajor)
+
+    tile_pos = np.asarray(tile_pos, np.int32)
+    sy, sx = float(spans[0]), float(spans[1])
+    hi = jax.lax.Precision.HIGHEST
+
+    @jax.custom_vjp
+    def sample(tiles, k, u, v, M):
+        if tiles.ndim == 5:
+            return bilinear_tiles_tilemajor(tiles, k, u, v)
+        return bilinear_tiles(tiles, k, u, v)
+
+    def fwd(tiles, k, u, v, M):
+        out = sample(tiles, k, u, v, M)
+        dtok = jnp.zeros((), tiles.dtype)        # dtype token (residuals
+        return out, (tiles.shape, dtok, k, u, v, M)  # must be JAX types)
+
+    def bwd(res, cts):
+        tiles_shape, dtok, k, u, v, M = res
+        tiles_dtype = dtok.dtype
+        ct = cts[0]                              # value cotangent
+        N = tiles_shape[0]
+        th, tw = tiles_shape[1], tiles_shape[2]
+        K = int(np.prod(tiles_shape[3:]))
+        D, h, w = k.shape
+        ct = ct.reshape(D, h, w, K).astype(jnp.float32)
+        Wp = min(window, h, w)
+        if N == 0:
+            g = jnp.zeros(tiles_shape, tiles_dtype)
+        else:
+            pos = jnp.asarray(tile_pos)
+            gu = jnp.arange(tw, dtype=jnp.float32)
+            gv = jnp.arange(th, dtype=jnp.float32)
+            # tile-corner virtual coords (constant offsets per tile)
+            cox = jnp.array([0.0, 1.0, 0.0, 1.0], jnp.float32) * sx
+            coy = jnp.array([0.0, 0.0, 1.0, 1.0], jnp.float32) * sy
+
+            def per_tile(inp):
+                idx, p = inp
+                d, ti, tj = p[0], p[1], p[2]
+                Md = M[d]
+                qx = tj.astype(jnp.float32) * sx + cox      # (4,)
+                qy = ti.astype(jnp.float32) * sy + coy
+                den = Md[2, 0] * qx + Md[2, 1] * qy + Md[2, 2]
+                den = jnp.where(jnp.abs(den) < 1e-12, 1e-12, den)
+                px = (Md[0, 0] * qx + Md[0, 1] * qy + Md[0, 2]) / den
+                py = (Md[1, 0] * qx + Md[1, 1] * qy + Md[1, 2]) / den
+                px0 = jnp.clip(jnp.floor(jnp.min(px)).astype(jnp.int32) - 1,
+                               0, w - Wp)
+                py0 = jnp.clip(jnp.floor(jnp.min(py)).astype(jnp.int32) - 1,
+                               0, h - Wp)
+                ks = jax.lax.dynamic_slice(
+                    k, (d, py0, px0), (1, Wp, Wp)).reshape(-1)
+                us = jax.lax.dynamic_slice(
+                    u, (d, py0, px0), (1, Wp, Wp)).reshape(-1)
+                vs = jax.lax.dynamic_slice(
+                    v, (d, py0, px0), (1, Wp, Wp)).reshape(-1)
+                cs = jax.lax.dynamic_slice(
+                    ct, (d, py0, px0, 0), (1, Wp, Wp, K)).reshape(-1, K)
+                mine = (ks == idx)
+                uu = jnp.clip(us.astype(jnp.float32), 0.0, tw - 1.0)
+                vv = jnp.clip(vs.astype(jnp.float32), 0.0, th - 1.0)
+                wx = jnp.maximum(0.0, 1.0 - jnp.abs(uu[:, None] - gu[None]))
+                wy = jnp.maximum(0.0, 1.0 - jnp.abs(vv[:, None] - gv[None]))
+                wy = wy * mine[:, None]
+                tmp = jnp.einsum("ph,pk->phk", wy, cs, precision=hi)
+                return jnp.einsum("pw,phk->hwk", wx, tmp, precision=hi)
+
+            g = jax.lax.map(per_tile,
+                            (jnp.arange(N, dtype=jnp.int32), pos),
+                            batch_size=min(64, N))
+            g = g.reshape(tiles_shape).astype(tiles_dtype)
+        f0 = jax.dtypes.float0
+        zk = np.zeros(k.shape, f0)
+        return (g, zk, jnp.zeros_like(u), jnp.zeros_like(v),
+                jnp.zeros_like(M))
+
+    sample.defvjp(fwd, bwd)
+    return sample
