@@ -117,9 +117,11 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--verbose", action="store_true")
-    ap.add_argument("--fast_grad", action="store_true",
+    ap.add_argument("--fast_grad", action=argparse.BooleanOptionalAction,
+                    default=True,
                     help="bench with --fast_stage2_grad (per-tile "
-                         "adjoint backward)")
+                         "adjoint backward), ON like the shipped "
+                         "configs; --no-fast_grad for the scatter path")
     opts = ap.parse_args()
 
     if opts.cpu:
