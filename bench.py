@@ -30,7 +30,7 @@ import numpy as np
 BASELINE_STEP_MS = 1800.0
 
 
-def build_bench_setup(quick=False, fast_grad=False):
+def build_bench_setup(quick=False, fast_grad=False, no_remat=False):
     import jax.numpy as jnp
     from videoloop3d_tpu.config import parse_args_with_configs
     from videoloop3d_tpu.models.mpv import MPMeshVid
@@ -54,6 +54,8 @@ def build_bench_setup(quick=False, fast_grad=False):
             "--a_smooth_loss_weight", "0.2"]
     if fast_grad:
         argv.append("--fast_stage2_grad")
+    if no_remat:
+        argv.append("--no_render_remat")
     args = parse_args_with_configs(argv)
 
     ref_extrin = np.eye(4, dtype=np.float32)
@@ -122,6 +124,11 @@ def main():
                     help="bench with --fast_stage2_grad (per-tile "
                          "adjoint backward), ON like the shipped "
                          "configs; --no-fast_grad for the scatter path")
+    ap.add_argument("--no_remat", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="bench with --no_render_remat (keep render "
+                         "activations; needs fast_grad to fit HBM), "
+                         "ON like the shipped configs")
     opts = ap.parse_args()
 
     if opts.cpu:
@@ -133,7 +140,8 @@ def main():
     from videoloop3d_tpu.train.stage2 import make_stage2_step
 
     model, args, params, batch, losscfg, (ph, pw), info = \
-        build_bench_setup(opts.quick, fast_grad=opts.fast_grad)
+        build_bench_setup(opts.quick, fast_grad=opts.fast_grad,
+                          no_remat=opts.no_remat)
     if opts.bf16:
         model.gather_dtype = jnp.bfloat16
     if opts.verbose:

@@ -126,6 +126,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "gradient: bypasses the slow XLA scatter with "
                         "an exact gather-free formulation (2.7x step "
                         "speedup on v5e; see render/adjoint.py)")
+    p.add_argument("--no_render_remat", action="store_true",
+                   help="keep render activations for the backward "
+                        "instead of rematerializing (more HBM, less "
+                        "recompute; pair with --fast_stage2_grad)")
     p.add_argument("--fast_stage2_grad", action="store_true",
                    help="per-tile adjoint for the stage-2 packed-tile "
                         "gradients: replaces the scatter-add backward "

@@ -87,11 +87,16 @@ def make_patch_loss_fn(model: MPMeshVid, args, ph, pw, losscfg):
     ts = None      # train on all frames; None skips the frame gather
 
     # remat: recompute the render in the backward pass instead of
-    # storing its activations (the (D,h,w,F) stacks dominate HBM)
-    @jax.checkpoint
+    # storing its activations (the (D,h,w,F) stacks dominate HBM);
+    # --no_render_remat trades HBM for the recompute time (viable at
+    # the production scale only with --fast_stage2_grad, whose
+    # custom-vjp samplers save small residuals instead of activations)
     def _render(p, extrin, intrin, rng):
         return model.render(p, ph, pw, extrin, intrin, ts,
                             training=True, rng=rng)
+
+    if not getattr(args, "no_render_remat", False):
+        _render = jax.checkpoint(_render)
 
     def loss_fn(p, batch, weights, rng):
         rgb, variables = _render(p, batch["extrin"], batch["intrin"], rng)
