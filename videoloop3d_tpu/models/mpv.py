@@ -280,14 +280,15 @@ class MPMeshVid:
             vals = vals.reshape((D, h, w) + vals.shape[-2:])
             rgb_p, alpha_p = decode(vals, valid0[..., None])
 
-        # composite over planes (axis 0, stored far->near => flip first)
-        a = jnp.flip(alpha_p, axis=0)                  # (D, h, w, F)
-        c = jnp.flip(rgb_p, axis=0)
-        trans = jnp.cumprod(1.0 - a, axis=0)
+        # composite over planes (axis 0, stored far->near): transmittance
+        # in front of plane i = prod over nearer planes (j > i) of
+        # (1-a_j) — a reverse cumprod along axis 0, shifted to exclusive.
+        # No flips/copies of the (D,h,w,F) stacks (they cost ~8ms/step).
+        trans = jax.lax.cumprod(1.0 - alpha_p, axis=0, reverse=True)
         trans = jnp.concatenate(
-            [jnp.ones_like(trans[:1]), trans[:-1]], axis=0)
-        bw = a * trans                                 # (D, h, w, F)
-        out = jnp.sum(c * bw[..., None], axis=0)       # (h, w, F, 3)
+            [trans[1:], jnp.ones_like(trans[:1])], axis=0)
+        bw = alpha_p * trans                           # (D, h, w, F) far 1st
+        out = jnp.sum(rgb_p * bw[..., None], axis=0)   # (h, w, F, 3)
         alpha_sum = jnp.sum(bw, axis=0)                # (h, w, F)
 
         bg = None
@@ -303,13 +304,14 @@ class MPMeshVid:
             # stage 2 uses raw reciprocal depth (MPV.py:386)
             z = jnp.where(valid0, coords.zview[0], 1.0)
             d = jnp.where(valid0, 1.0 / z, 0.0)
-            disp = jnp.sum(jnp.flip(d, axis=0)[..., None] * bw, axis=0)
+            disp = jnp.sum(d[..., None] * bw, axis=0)  # both far-first
 
         out_rgb = jnp.moveaxis(out, 2, 0)              # (F, h, w, 3)
         variables = {
             "alpha_planes": alpha_p,       # (D, h, w, F)
             "rgb_planes": rgb_p,           # (D, h, w, F, 3)
-            "blend_weight": bw,            # (D, h, w, F), near-first
+            "blend_weight": bw,            # (D, h, w, F), far-first
+                                           # (plane storage order)
             "alpha": alpha_sum,            # (h, w, F)
             "disp": disp,                  # (h, w, F) or None
         }

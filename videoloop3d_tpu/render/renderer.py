@@ -106,17 +106,15 @@ def composite_planes(alpha, content):
     alpha: (B, D, H, W); content: (B, D, H, W, C).
     Returns (rgb (B,H,W,C), blend_weight (B,D,H,W) in plane order).
     """
-    a = jnp.flip(alpha, axis=1)                      # near first
-    c = jnp.flip(content, axis=1)
-    a = jnp.moveaxis(a, 1, -1)                       # (B, H, W, D)
-    c = jnp.moveaxis(c, 1, -2)                       # (B, H, W, D, C)
-    one_minus = 1.0 - a
-    trans = jnp.cumprod(one_minus, axis=-1)
+    # transmittance in front of plane i = prod over nearer planes
+    # (higher index, planes stored far->near) of (1 - a): a reverse
+    # cumprod along the plane axis, shifted to exclusive — no
+    # flip/moveaxis copies of the big stacks.
+    trans = jax.lax.cumprod(1.0 - alpha, axis=1, reverse=True)
     trans = jnp.concatenate(
-        [jnp.ones_like(trans[..., :1]), trans[..., :-1]], axis=-1)
-    w = a * trans
-    out = jnp.sum(c * w[..., None], axis=-2)
-    w = jnp.flip(jnp.moveaxis(w, -1, 1), axis=1)     # back to plane order
+        [trans[:, 1:], jnp.ones_like(trans[:, :1])], axis=1)
+    w = alpha * trans                                # plane order
+    out = jnp.sum(content * w[..., None], axis=1)
     return out, w
 
 
