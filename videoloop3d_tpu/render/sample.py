@@ -10,12 +10,6 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def _corner_gather(flat_tex, idx, valid):
-    """flat_tex: (..., HW, C); idx: (..., N) int32; valid: (..., N) bool."""
-    g = jnp.take_along_axis(flat_tex, idx[..., None], axis=-2)
-    return g * valid[..., None]
-
-
 def bilinear_planes(tex, x, y):
     """Sample per-plane textures at continuous texel coordinates.
 
@@ -35,17 +29,37 @@ def bilinear_planes(tex, x, y):
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
+    # Quad-packed gather: ONE descriptor per sample instead of 4 (the
+    # gather is descriptor-rate bound on TPU; see bilinear_tiles).  Each
+    # packed row holds [f(r), f(r+1), f(r+Wt), f(r+Wt+1)]; the base r
+    # uses x0 in [-1, Wt-1] / y0 in [-1, Ht-1] so that a valid +1
+    # corner next to an out-of-bounds base still reads its true texel
+    # (e.g. x0 = -1: r+1 is column 0).  Out-of-bounds corners keep their
+    # zero mask as before; Wt+1 zero pad rows on each side make every
+    # in-range base's 4 reads memory-valid, and jnp.take clips the rest
+    # (fully-invalid samples, all 4 masks zero).
     flat = tex.reshape(D, Ht * Wt, C)
+    pad = jnp.zeros((D, Wt + 1, C), flat.dtype)
+    fp = jnp.concatenate([pad, flat, pad], axis=1)   # (D, R+2Wt+2, C)
+    R = Ht * Wt
+    Q = R + Wt + 1                                   # quad base positions
+    quad = jnp.concatenate(
+        [fp[:, :Q], fp[:, 1:Q + 1], fp[:, Wt:Q + Wt],
+         fp[:, Wt + 1:Q + Wt + 1]], axis=-1)         # (D, Q, 4C)
+    xb = jnp.clip(x0i, -1, Wt - 1)
+    yb = jnp.clip(y0i, -1, Ht - 1)
+    r = yb * Wt + xb + (Wt + 1)                      # lead-pad shift, >= 0
+    g = jnp.take_along_axis(quad, r[..., None], axis=-2)
+    g = g.reshape(x.shape + (4, C))
 
-    def corner(xi, yi):
-        valid = (xi >= 0) & (xi < Wt) & (yi >= 0) & (yi < Ht)
-        idx = jnp.clip(yi, 0, Ht - 1) * Wt + jnp.clip(xi, 0, Wt - 1)
-        return _corner_gather(flat, idx, valid)
+    def mask(xi, yi):
+        return ((xi >= 0) & (xi < Wt) & (yi >= 0)
+                & (yi < Ht)).astype(g.dtype)[..., None]
 
-    v00 = corner(x0i, y0i)
-    v01 = corner(x0i + 1, y0i)
-    v10 = corner(x0i, y0i + 1)
-    v11 = corner(x0i + 1, y0i + 1)
+    v00 = g[..., 0, :] * mask(x0i, y0i)
+    v01 = g[..., 1, :] * mask(x0i + 1, y0i)
+    v10 = g[..., 2, :] * mask(x0i, y0i + 1)
+    v11 = g[..., 3, :] * mask(x0i + 1, y0i + 1)
     fx = fx[..., None]
     fy = fy[..., None]
     top = v00 * (1 - fx) + v01 * fx
@@ -88,19 +102,28 @@ def bilinear_tiles(tiles, tile_idx, u, v):
     fv = (v - v0)[..., None]
     u0i = u0.astype(jnp.int32)
     v0i = v0.astype(jnp.int32)
-    u1i = jnp.minimum(u0i + 1, tw - 1)
-    v1i = jnp.minimum(v0i + 1, th - 1)
 
+    # Quad-packed gather: ONE descriptor per sample instead of 4.  The
+    # texel gather is descriptor-rate bound on TPU (measured ~50GB/s at
+    # 800B rows, worse for these 16B rows), so pack each texel's 2x2
+    # neighborhood [f(r), f(r+1), f(r+tw), f(r+tw+1)] into one 4C row
+    # (built per call; tiny vs the gather).  Whenever a +1 neighbor
+    # crosses a tile edge its packed entry is a foreign texel, but the
+    # bilinear weight there is exactly 0: u0i == tw-1 only when u
+    # clamped to exactly tw-1 (fu == 0), same for v — so foreign reads
+    # never contribute.  Two zero pad rows keep r+tw+1 in bounds.
     flat = tiles.reshape(N * th * tw, C)
-    base = k * (th * tw)
-
-    def corner(ui, vi):
-        return jnp.take(flat, base + vi * tw + ui, axis=0)
-
-    v00 = corner(u0i, v0i)
-    v01 = corner(u1i, v0i)
-    v10 = corner(u0i, v1i)
-    v11 = corner(u1i, v1i)
+    pad = jnp.zeros((tw + 1, C), flat.dtype)
+    fp = jnp.concatenate([flat, pad], axis=0)
+    R = N * th * tw
+    quad = jnp.concatenate(
+        [fp[:R], fp[1:R + 1], fp[tw:R + tw], fp[tw + 1:R + tw + 1]],
+        axis=-1)                                     # (R, 4C)
+    r = k * (th * tw) + v0i * tw + u0i
+    g = jnp.take(quad, r, axis=0)
+    g = g.reshape(g.shape[:-1] + (4, C))
+    v00, v01, v10, v11 = g[..., 0, :], g[..., 1, :], g[..., 2, :], \
+        g[..., 3, :]
     top = v00 * (1 - fu) + v01 * fu
     bot = v10 * (1 - fu) + v11 * fu
     values = top * (1 - fv) + bot * fv
@@ -136,20 +159,31 @@ def bilinear_tiles_tilemajor(tiles, tile_idx, u, v):
     fv = (v - v0)[..., None, None]
     u0i = u0.astype(jnp.int32)
     v0i = v0.astype(jnp.int32)
-    u1i = jnp.minimum(u0i + 1, tw - 1)
     v1i = jnp.minimum(v0i + 1, th - 1)
 
+    # u-paired gather: 2 descriptors per sample instead of 4.  The
+    # gather is descriptor-rate bound (measured: 4x800B rows 120ms vs
+    # 2x1600B rows 88ms for the production step's volume), so pack each
+    # texel with its +u neighbor into one 2FC row.  When u0i == tw-1
+    # (u clamped exactly to the edge) the packed neighbor is a foreign
+    # texel but fu == 0 there, so it never contributes; one zero pad
+    # row keeps the last pair in bounds.  The v corners stay separate
+    # gathers (v-neighbors are tw rows apart; packing them would 4x the
+    # texture copy).
     flat = tiles.reshape(N * th * tw, F * C)
-    base = k * (th * tw)
+    fp = jnp.concatenate([flat, jnp.zeros((1, F * C), flat.dtype)],
+                         axis=0)
+    R = N * th * tw
+    pairs = jnp.concatenate([fp[:R], fp[1:R + 1]], axis=-1)  # (R, 2FC)
+    base = k * (th * tw) + u0i
 
-    def corner(ui, vi):
-        g = jnp.take(flat, base + vi * tw + ui, axis=0)
-        return g.reshape(u.shape + (F, C))
+    def row_pair(vi):
+        g = jnp.take(pairs, base + vi * tw, axis=0)
+        g = g.reshape(u.shape + (2, F, C))
+        return g[..., 0, :, :], g[..., 1, :, :]
 
-    v00 = corner(u0i, v0i)
-    v01 = corner(u1i, v0i)
-    v10 = corner(u0i, v1i)
-    v11 = corner(u1i, v1i)
+    v00, v01 = row_pair(v0i)
+    v10, v11 = row_pair(v1i)
     top = v00 * (1 - fu) + v01 * fu
     bot = v10 * (1 - fu) + v11 * fu
     values = top * (1 - fv) + bot * fv
