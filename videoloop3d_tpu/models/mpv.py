@@ -234,10 +234,9 @@ class MPMeshVid:
         if self.is_sparse:
             from videoloop3d_tpu.render.sample import \
                 bilinear_tiles_tilemajor
-            k_s, fu, fv = R.tile_lookup(
-                self.geom, jnp.asarray(self.tile_map_static), sample_coords)
-            k_d, _, _ = R.tile_lookup(
-                self.geom, jnp.asarray(self.tile_map_dyn), sample_coords)
+            k_s, k_d, fu, fv = R.tile_lookup2(
+                self.geom, self.tile_map_static, self.tile_map_dyn,
+                sample_coords)
             atlas_s = params["atlas"].astype(self.gather_dtype)
             dyn = params["atlas_dyn"].astype(self.gather_dtype)
             if ts is not None:                         # None = all frames

@@ -92,6 +92,33 @@ def tile_lookup(geom: MPIGeometry, tile_map, coords: WarpCoords):
     return k, fu, fv
 
 
+def tile_lookup2(geom: MPIGeometry, tile_map_a, tile_map_b,
+                 coords: WarpCoords):
+    """tile_lookup for TWO maps (static + dynamic) with ONE paired
+    gather: the map lookup is an element gather (descriptor-rate bound,
+    like the texel gathers — see render/sample.py), so fetching both
+    packed indices per sample as one 2-int row halves its cost.
+    Returns (k_a, k_b, fu, fv), identical to two tile_lookup calls."""
+    sy, sx = geom.tile_span
+    j = jnp.clip(jnp.floor(coords.x / sx).astype(jnp.int32),
+                 0, geom.n_tiles_w - 1)
+    i = jnp.clip(jnp.floor(coords.y / sy).astype(jnp.int32),
+                 0, geom.n_tiles_h - 1)
+    fu = (coords.x - j.astype(coords.x.dtype) * sx) / sx
+    fv = (coords.y - i.astype(coords.y.dtype) * sy) / sy
+    both = jnp.stack([jnp.asarray(tile_map_a), jnp.asarray(tile_map_b)],
+                     axis=-1)                       # (D, nth, ntw, 2)
+    flat = both.reshape(geom.n_planes, -1, 2)
+    ij = (i * geom.n_tiles_w + j)                   # (B, D, H, W)
+    B, D, H, W = ij.shape
+    g = jnp.take_along_axis(
+        jnp.broadcast_to(flat[None], (B,) + flat.shape),
+        ij.reshape(B, D, -1, 1), axis=-2).reshape(B, D, H, W, 2)
+    k_a = jnp.where(coords.valid, g[..., 0], -1)
+    k_b = jnp.where(coords.valid, g[..., 1], -1)
+    return k_a, k_b, fu, fv
+
+
 def sample_sparse(tiles, k, fu, fv):
     """Gather packed tiles: tiles (N, th, tw, C), k/fu/fv from tile_lookup.
     Returns ((B,D,H,W,C) values, (B,D,H,W) hit-mask)."""
