@@ -10,7 +10,7 @@ def test_make_depths_disparity_spacing():
     disp = 1.0 / d
     diffs = np.diff(disp)
     assert np.allclose(diffs, diffs[0], rtol=1e-5)
-    assert np.isclose(d[0], 10.0, rtol=1e-5)   # ascending depth
+    assert np.isclose(d[0], 10.0, rtol=1e-5)   # FAR first (index 0 = far)
     assert np.isclose(d[-1], 2.0, rtol=1e-5)
 
 

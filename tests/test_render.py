@@ -179,3 +179,35 @@ def test_forward_gradients_flow():
     assert float(jnp.abs(g["atlas"]).max()) > 0
     assert float(jnp.abs(g["atlas_mask"]).max()) >= 0
     assert np.all(np.isfinite(np.asarray(g["atlas"])))
+
+
+def test_create_occlusion_near_plane_wins():
+    """Regression: MPIGeometry.create must store depths FAR-first so the
+    composite (which assumes index 0 = far) lets the NEAR plane occlude.
+    Round-1 bug: create() reversed make_depths, inverting occlusion in
+    every production run (hand-built geometries in other tests hid it)."""
+    import types
+    h, w = 24, 32
+    args = types.SimpleNamespace(mpi_h_scale=1.0, mpi_w_scale=1.0,
+                                 mpi_d=2, mpi_h_verts=3, mpi_w_verts=4)
+    intrin = np.array([[30.0, 0, w / 2], [0, 30.0, h / 2], [0, 0, 1]],
+                      np.float32)
+    geom = MPIGeometry.create(args, h, w, np.eye(4, dtype=np.float32),
+                              intrin, near=2.0, far=8.0)
+    assert geom.depths[0] > geom.depths[-1]  # far first
+
+    # plane 0 (far) solid red, plane 1 (near) solid green, both opaque
+    atlas = np.zeros((2, geom.mpi_h, geom.mpi_w, 4), np.float32)
+    atlas[0, ..., 0] = 1.0
+    atlas[1, ..., 1] = 1.0
+    atlas[..., 3] = 1.0
+
+    cfg = MPMeshConfig(rgb_activate="none", alpha_activate="none",
+                       learn_loop_mask=False)
+    model = MPMesh.from_geometry(geom, cfg, h, w)
+    rgb, _ = model.render({"atlas": jnp.asarray(atlas)}, h, w,
+                          jnp.asarray(np.eye(4, dtype=np.float32))[None],
+                          jnp.asarray(intrin)[None])
+    center = np.asarray(rgb[0, h // 2, w // 2, :3])
+    assert center[1] > 0.99 and center[0] < 0.01, (
+        f"near (green) plane must win, got {center}")

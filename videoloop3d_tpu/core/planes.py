@@ -26,10 +26,12 @@ import jax.numpy as jnp
 
 
 def make_depths(num_planes, near, far):
-    """Plane depths uniformly spaced in disparity, ascending in depth.
+    """Plane depths uniformly spaced in disparity, FAR FIRST (index 0 =
+    farthest, descending in depth / ascending in disparity).
 
-    Parity: utils_mpi.py:210-211 (make_depths).  The models store the
-    *reversed* (far -> near) order; see `MPIGeometry`.
+    Parity: utils_mpi.py:210-211 (make_depths).  The models store this
+    order unchanged; see `MPIGeometry` (the reference flips to near-first
+    but its per-pixel z-sorted rasterizer makes storage order moot there).
     """
     return np.reciprocal(np.linspace(1.0 / far, 1.0 / near, num_planes,
                                      dtype=np.float64)).astype(np.float32)

@@ -7,8 +7,11 @@ n_tiles_w) tile grid over a virtual plane texture of mpi_h x mpi_w texels.
 Dense phase: every plane is a full texture.  Sparse phase: kept tiles live
 in packed arrays indexed through per-plane int32 tile maps.
 
-Plane index 0 is the FARTHEST plane (the reference flips `make_depths`,
-MPI.py:57), so compositing iterates the plane axis reversed.
+Plane index 0 is the FARTHEST plane.  (The reference stores the OPPOSITE
+order: MPI.py:57 flips `make_depths` to near-first and its rasterizer
+z-sorts per pixel, so storage order never matters there.  Here storage
+order IS compositing order, so it is pinned: index 0 = far, and every
+composite weights plane i by prod_{j>i}(1 - a_j).)
 """
 from __future__ import annotations
 
@@ -45,7 +48,7 @@ class MPIGeometry:
         w_start = (mpi_w - W) // 2
         km = cameras.shift_intrinsic(np.asarray(ref_intrin, np.float64),
                                      -h_start, -w_start)
-        depths = plane_math.make_depths(args.mpi_d, near, far)[::-1]  # far 1st
+        depths = plane_math.make_depths(args.mpi_d, near, far)  # far first
         return MPIGeometry(
             n_planes=int(args.mpi_d),
             mpi_h=mpi_h, mpi_w=mpi_w,

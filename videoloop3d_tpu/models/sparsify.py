@@ -86,8 +86,11 @@ def tile_cull(params, geom: MPIGeometry, alpha_activate,
       params: dict with 'atlas' (D,Ht,Wt,C) and optionally 'atlas_mask'
         (D,Ht,Wt,1) — host numpy or jax arrays.
       alpha_activate: callable raw->opacity (numpy-compatible).
-      rm_first_layers: drop all tiles of the first (farthest) N planes
-        (ref MPI.py:345-348, `sparsify_rmfirstlayer`).
+      rm_first_layers: drop all tiles of the N NEAREST planes.  The
+        reference zeroes its first quads (ref MPI.py:345-348,
+        `sparsify_rmfirstlayer`), and its plane storage is near-first
+        (MPI.py:57 flips far-first `make_depths`), so "first" there means
+        nearest.  Our storage is far-first, hence the slice from the end.
 
     Returns dict with:
       static_tiles (Ns,th,tw,C), dyn_tiles (Nd,th,tw,C),
@@ -134,7 +137,7 @@ def tile_cull(params, geom: MPIGeometry, alpha_activate,
 
     keep = tile_max(alpha) > alpha_thresh
     if rm_first_layers > 0:
-        keep[:rm_first_layers] = False
+        keep[D - rm_first_layers:] = False
     is_dyn = (tile_max(loop) > loop_thresh) & keep
     is_static = keep & ~is_dyn
 

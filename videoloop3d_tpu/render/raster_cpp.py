@@ -8,6 +8,7 @@ rasterization path for perturbed-vertex geometry.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 
@@ -19,10 +20,13 @@ _LIB = None
 
 
 def _build_lib():
+    # Key the artifact on the source hash (git does not preserve mtimes,
+    # so an mtime staleness check is nondeterministic across clones).
     src = os.path.join(_CSRC, "rasterizer.cpp")
-    out = os.path.join(_CSRC, "librasterizer.so")
-    if (not os.path.exists(out)
-            or os.path.getmtime(out) < os.path.getmtime(src)):
+    with open(src, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    out = os.path.join(_CSRC, f"librasterizer-{digest}.so")
+    if not os.path.exists(out):
         subprocess.run(
             ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src, "-o", out],
             check=True)
