@@ -55,6 +55,39 @@ def test_sharded_gpnn_matches_single_device():
             assert np.isclose(got, want, rtol=2e-4), (S, alpha, got, want)
 
 
+def test_sharded_gpnn_direct_matches_single_device():
+    """loss_name='gpnn' under fp sharding (macro_block=None -> one
+    full-rectangle crop) equals the single-device gpnn_direct_loss."""
+    rng = np.random.default_rng(1)
+    F, h, w = 8, 15, 24
+    x = rng.random((3, F, h, w)).astype(np.float32)
+    y = rng.random((3, F, h, w)).astype(np.float32)
+    pad = LOSSCFG["patcht_size"] - 1
+    x_pad = jnp.concatenate([jnp.asarray(x), jnp.asarray(x[:, :pad])],
+                            axis=1)
+    want = float(pnl.gpnn_direct_loss(
+        x_pad, jnp.asarray(y), patch_size=LOSSCFG["patch_size"],
+        patcht_size=LOSSCFG["patcht_size"], stride=LOSSCFG["stride"],
+        stridet=1, alpha=1e10, rou=LOSSCFG["rou"],
+        scaling=LOSSCFG["scaling"]))
+
+    S = 4
+    mesh = make_mesh(n_dp=1, n_fp=S)
+
+    def worker(xl, yl):
+        return sharded_gpnn_lowmem(
+            xl, yl, patch_size=LOSSCFG["patch_size"],
+            patcht_size=LOSSCFG["patcht_size"], stride=LOSSCFG["stride"],
+            alpha=None, rou=LOSSCFG["rou"], scaling=LOSSCFG["scaling"],
+            macro_block=None, fp_size=S, frm_num=F)
+
+    mapped = jax.shard_map(worker, mesh=mesh,
+                           in_specs=(P(None, "fp"), P()), out_specs=P(),
+                           check_vma=False)
+    got = float(jax.jit(mapped)(jnp.asarray(x), jnp.asarray(y)))
+    assert np.isclose(got, want, rtol=2e-4), (got, want)
+
+
 def test_fp_step_matches_single_device():
     """Full fp=4 sharded training step == single-device step (SGD)."""
     scene, args, model, params = _tiny_mpv(frm=8)

@@ -82,6 +82,35 @@ def test_stage1_end_to_end_smoke(tmp_path):
     assert loaded["tile_map_static"] is not None
 
 
+def test_stage1_direct2sh_event(tmp_path):
+    """The --direct2sh_epoch event (ref train_3d.py:287-290): train a
+    direct atlas, convert to rgb_sh mid-run, keep training with the loss
+    still decreasing, and auto-resume with the converted decoder type."""
+    scene = synthetic.make_scene(n_views=3, h=24, w=32, n_frames=4, seed=0)
+    scene_dir = str(tmp_path / "scene")
+    synthetic.write_llff_dir(scene, scene_dir, factor=1)
+    args = _debug_args(tmp_path, scene_dir, sparsify_epoch="-1",
+                       direct2sh_epoch="2", N_iters="6", i_weights="3")
+    history = []
+    model, params, rundir = stage1.train(
+        args, progress_cb=lambda e, m: history.append(float(m["loss"])))
+
+    assert model.cfg.rgb_mlp_type == "rgb_sh"
+    assert params["atlas"].shape[-1] == 13       # 3*4 SH coeffs + alpha
+    # loss keeps improving after the conversion epoch
+    assert history[-1] < history[2], history
+    # conversion preserves the direct colors as dc coefficients: loss
+    # right after converting should not blow up vs right before
+    assert history[2] < history[0] * 3 + 0.1, history
+
+    # auto-resume restores the converted decoder type from ckpt meta
+    args2 = _debug_args(tmp_path, scene_dir, sparsify_epoch="-1",
+                        direct2sh_epoch="2", N_iters="6", i_weights="3")
+    model2, params2, _ = stage1.train(args2)
+    assert model2.cfg.rgb_mlp_type == "rgb_sh"
+    assert params2["atlas"].shape[-1] == 13
+
+
 def test_stage1_patch_batching(tmp_path):
     """patch_batch > 1 trains on stacked patches and still improves."""
     from videoloop3d_tpu.data import synthetic

@@ -83,6 +83,36 @@ def test_stage2_from_scratch_dense(tmp_path):
     assert ckpts
 
 
+def test_stage2_init_adopts_sh_checkpoint(tmp_path):
+    """A direct2sh-converted stage-1 ckpt (13-channel SH atlas) must be
+    consumable by stage 2: init_from_stage1 adopts the checkpoint's
+    rgb_mlp_type and channel count, and the render stays finite."""
+    from videoloop3d_tpu.models import checkpoint as ckpt_io
+    from videoloop3d_tpu.models.mpmesh import MPMesh, convert_direct_to_sh
+    from videoloop3d_tpu.models.mpv import MPMeshVid
+    from videoloop3d_tpu.train.stage1 import save_stage1_checkpoint
+
+    scene = synthetic.make_scene(n_views=2, h=24, w=32, n_frames=6, seed=0)
+    scene_dir = str(tmp_path / "scene")
+    synthetic.write_llff_dir(scene, scene_dir, factor=1)
+    args = _stage2_args(tmp_path, scene_dir)
+    ref_extrin = np.eye(4, dtype=np.float32)
+    m1 = MPMesh(args, 24, 32, ref_extrin, scene["intrins"][0], 1.0, 6.0)
+    p1 = m1.init_params(0)
+    p1 = convert_direct_to_sh(m1, p1)
+    path = str(tmp_path / "sh_ckpt.npz")
+    save_stage1_checkpoint(path, m1, p1, epoch=0)
+
+    m2 = MPMeshVid(args, 24, 32, ref_extrin, scene["intrins"][0], 1.0, 6.0)
+    p2 = m2.init_from_stage1(ckpt_io.load_checkpoint(path))
+    assert m2.cfg.rgb_mlp_type == "rgb_sh"
+    assert p2["atlas_dyn"].shape[-1] == 13
+    rgb, _ = m2.render(p2, 24, 32, ref_extrin[None],
+                       scene["intrins"][:1], jnp.asarray([0, 2]))
+    assert rgb.shape == (2, 24, 32, 3)
+    assert np.isfinite(np.asarray(rgb)).all()
+
+
 def test_stage2_full_pipeline_sparse(tmp_path):
     """Stage 1 -> culling -> stage 2 on the sparse MTV, loss decreases
     and a checkpoint with tile maps lands.  Runs on the virtual 8-device

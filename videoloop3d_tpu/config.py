@@ -80,7 +80,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pyr_minimal_dim", type=int, default=60)
     p.add_argument("--pyr_num_epoch", type=int, default=600)
     p.add_argument("--pyr_factor", type=float, default=0.5)
-    p.add_argument("--pyr_init_level", type=int, default=-1)
+    p.add_argument("--pyr_init_level", type=int, default=-1,
+                   help="start the stage-2 pyramid at this level index "
+                        "(skip coarser levels); -1 = start at level 0")
 
     # MPI
     p.add_argument("--sparsify_epoch", type=int, default=-1)
@@ -165,8 +167,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="trace output dir (default <rundir>/profile)")
 
     # parallelism (TPU-native: size of the data-parallel device mesh)
-    p.add_argument("--gpu_num", type=int, default=-1,
-                   help="kept for config compatibility; <=0 selects CPU")
+    p.add_argument("--gpu_num", type=int, default=1,
+                   help="reference-compat device switch: <= 0 selects the "
+                        "CPU backend (ref train_3dvid.py:70-73); device "
+                        "COUNT is --mesh_devices")
     p.add_argument("--mesh_devices", type=int, default=0,
                    help="devices in the jax mesh (0 = all available, "
                         "1 = force single-device)")

@@ -169,15 +169,23 @@ def convert_direct_to_sh(model: "MPMesh", params):
     """Convert a 'direct' RGBA atlas into 'rgb_sh' (dc coefficients seeded
     from the direct colors).  Parity: ref MPI.py:273-286 (direct2sh) —
     the reference flags it "not well tested"; same caveat applies.
+    Handles both the dense atlas and sparse packed tiles (atlas_dyn).
     Returns new params; model.cfg is swapped to rgb_sh."""
-    atlas = np.asarray(params["atlas"], np.float32)
-    D, H, W, _ = atlas.shape
-    dim = 4
-    out = np.zeros((D, H, W, 3 * dim + 1), np.float32)
-    out[..., -1] = atlas[..., -1]
-    out[..., 0:-1:dim] = atlas[..., :3]     # dc coefficient per color
+    assert model.cfg.rgb_mlp_type == "direct", \
+        f"direct2sh requires a direct atlas, got {model.cfg.rgb_mlp_type}"
+
+    def widen(t):
+        t = np.asarray(t, np.float32)
+        dim = 4
+        out = np.zeros(t.shape[:-1] + (3 * dim + 1,), np.float32)
+        out[..., -1] = t[..., -1]
+        out[..., 0:-1:dim] = t[..., :3]     # dc coefficient per color
+        return jnp.asarray(out)
+
     new = dict(params)
-    new["atlas"] = jnp.asarray(out)
+    new["atlas"] = widen(params["atlas"])
+    if "atlas_dyn" in params and len(np.asarray(params["atlas_dyn"])):
+        new["atlas_dyn"] = widen(params["atlas_dyn"])
     model.cfg = dataclasses.replace(model.cfg, rgb_mlp_type="rgb_sh")
     return new
 

@@ -27,7 +27,8 @@ import numpy as np
 from videoloop3d_tpu.core.activations import ACTIVATIONS
 from videoloop3d_tpu.losses import regularizers as regs
 from videoloop3d_tpu.models.geometry import MPIGeometry
-from videoloop3d_tpu.models.mpmesh import MPMeshConfig, decode_rgba
+from videoloop3d_tpu.models.mpmesh import (MPMeshConfig, _atlas_channels,
+                                           decode_rgba)
 from videoloop3d_tpu.render import renderer as R
 
 
@@ -70,12 +71,13 @@ class MPMeshVid:
         """Scratch init (dense): ref MPV.py:83-110."""
         g = self.base_geom
         rng = np.random.default_rng(seed)
+        C = _atlas_channels(self.cfg.rgb_mlp_type, self.cfg.atlas_cnl)
         dyn = rng.standard_normal(
-            (g.n_planes, g.mpi_h, g.mpi_w, self.frm_num, 4)) * self.init_std
+            (g.n_planes, g.mpi_h, g.mpi_w, self.frm_num, C)) * self.init_std
         dyn = dyn.astype(np.float32)
         if self.cfg.rgb_mlp_type == "direct":
             dyn[..., -1] = -2.0
-        return {"atlas": jnp.zeros((0, 1, 1, 4), self.dtype),
+        return {"atlas": jnp.zeros((0, 1, 1, C), self.dtype),
                 "atlas_dyn": jnp.asarray(dyn, self.dtype),
                 "verts": jnp.asarray(g.vertex_grid())}
 
@@ -84,28 +86,38 @@ class MPMeshVid:
 
         Returns params.  Sparse ckpt: static tiles stay static, dynamic
         tiles broadcast over frames.  Dense ckpt: whole atlas becomes the
-        dynamic stack, static empty.
+        dynamic stack, static empty.  The checkpoint's decoder type wins
+        over args (a direct2sh-converted ckpt carries SH channels).
         """
         meta, p = ckpt["meta"], ckpt["params"]
         self.base_geom = ckpt["geom"]
         self.geom = ckpt["geom"]
+        ck_type = meta.get("extra", {}).get("rgb_mlp_type")
+        if ck_type and ck_type != self.cfg.rgb_mlp_type:
+            import dataclasses
+            print(f"[mpv] adopting rgb_mlp_type={ck_type} from the "
+                  f"stage-1 checkpoint (args said "
+                  f"{self.cfg.rgb_mlp_type})")
+            self.cfg = dataclasses.replace(self.cfg, rgb_mlp_type=ck_type)
         if meta["is_sparse"]:
             self.is_sparse = True
             self.tile_map_static = ckpt["tile_map_static"]
             self.tile_map_dyn = ckpt["tile_map_dyn"]
             self.tile_hw = tuple(meta["tile_hw"])
             self.base_tile_hw = self.tile_hw
+            C = p["atlas_dyn"].shape[-1]
             dyn = np.broadcast_to(
                 p["atlas_dyn"][..., None, :],
-                p["atlas_dyn"].shape[:-1] + (self.frm_num, 4)).copy()
+                p["atlas_dyn"].shape[:-1] + (self.frm_num, C)).copy()
             params = {"atlas": jnp.asarray(p["atlas"], self.dtype),
                       "atlas_dyn": jnp.asarray(dyn, self.dtype)}
         else:
             self.is_sparse = False
+            C = p["atlas"].shape[-1]
             dyn = np.broadcast_to(
                 p["atlas"][..., None, :],
-                p["atlas"].shape[:-1] + (self.frm_num, 4)).copy()
-            params = {"atlas": jnp.zeros((0, 1, 1, 4), self.dtype),
+                p["atlas"].shape[:-1] + (self.frm_num, C)).copy()
+            params = {"atlas": jnp.zeros((0, 1, 1, C), self.dtype),
                       "atlas_dyn": jnp.asarray(dyn, self.dtype)}
         if "verts" in p:
             params["verts"] = jnp.asarray(p["verts"])

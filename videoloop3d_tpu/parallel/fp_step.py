@@ -39,19 +39,30 @@ from videoloop3d_tpu.train import common, optimizer as opt_lib
 
 
 def _spatial_plan(h, w, p, s, macro):
-    """Macro-crop starts + summed spatial fold weight (host, static)."""
-    macro = pnl.fit_patch_size(macro, p, s)
+    """Macro-crop starts + summed spatial fold weight (host, static).
+
+    macro=None means one crop covering the full fitted rectangle — the
+    'gpnn' (direct, macro-block-free) degeneration, so a 'gpnn' config
+    under fp sharding gets the same patch tiling/normalization as the
+    single-device gpnn_direct_loss path.
+    """
     fh = pnl.fit_patch_size(h, p, s)
     fw = pnl.fit_patch_size(w, p, s)
-    macro = min(macro, fh, fw)
-    hs = pnl._macro_starts(fh, macro, p, s)
-    ws = pnl._macro_starts(fw, macro, p, s)
-    prof = pnl._fold_profile_1d(macro, p, s)
+    if macro is None:
+        mh, mw = fh, fw
+    else:
+        macro = pnl.fit_patch_size(macro, p, s)
+        mh = mw = min(macro, fh, fw)
+    hs = pnl._macro_starts(fh, mh, p, s)
+    ws = pnl._macro_starts(fw, mw, p, s)
+    prof_h = pnl._fold_profile_1d(mh, p, s)
+    prof_w = pnl._fold_profile_1d(mw, p, s)
     weight = np.zeros((fh, fw), np.float32)
     for h0 in hs:
         for w0 in ws:
-            weight[h0:h0 + macro, w0:w0 + macro] += np.outer(prof, prof)
-    return macro, fh, fw, tuple(hs), tuple(ws), np.clip(weight, 1e-10, None)
+            weight[h0:h0 + mh, w0:w0 + mw] += np.outer(prof_h, prof_w)
+    return (mh, mw), fh, fw, tuple(hs), tuple(ws), \
+        np.clip(weight, 1e-10, None)
 
 
 def sharded_gpnn_lowmem(x_scaled, y, *, patch_size, patcht_size, stride,
@@ -70,7 +81,7 @@ def sharded_gpnn_lowmem(x_scaled, y, *, patch_size, patcht_size, stride,
     assert Fl * S == frm_num and Fl >= pad
     psz = (pt, patch_size, patch_size)
     strides = (1, stride, stride)
-    macro, fh, fw, hs, ws, sw_np = _spatial_plan(
+    (mh, mw), fh, fw, hs, ws, sw_np = _spatial_plan(
         H, W, patch_size, stride, macro_block)
     y = y[:, :, :fh, :fw]
     x_fit = x_scaled[:, :, :fh, :fw]
@@ -120,9 +131,9 @@ def sharded_gpnn_lowmem(x_scaled, y, *, patch_size, patcht_size, stride,
             sel.reshape((ntx, nh, nw) + Xp8.shape[3:]),
             (Fl + pad, xc.shape[2], xc.shape[3]), strides)
 
-    x_crops = jnp.stack([x_ext[..., h0:h0 + macro, w0:w0 + macro]
+    x_crops = jnp.stack([x_ext[..., h0:h0 + mh, w0:w0 + mw]
                          for h0 in hs for w0 in ws])
-    y_crops = jnp.stack([ys[..., h0:h0 + macro, w0:w0 + macro]
+    y_crops = jnp.stack([ys[..., h0:h0 + mh, w0:w0 + mw]
                          for h0 in hs for w0 in ws])
     y2x_crops = jax.vmap(crop_retarget)(x_crops, y_crops)
 
@@ -130,7 +141,7 @@ def sharded_gpnn_lowmem(x_scaled, y, *, patch_size, patcht_size, stride,
     ci = 0
     for h0 in hs:
         for w0 in ws:
-            canvas = canvas.at[..., h0:h0 + macro, w0:w0 + macro].add(
+            canvas = canvas.at[..., h0:h0 + mh, w0:w0 + mw].add(
                 y2x_crops[ci])
             ci += 1
 
@@ -164,6 +175,18 @@ def sharded_gpnn_lowmem(x_scaled, y, *, patch_size, patcht_size, stride,
     return jax.lax.psum(local_sum, "fp") / n_terms
 
 
+def fp_supports(losscfg):
+    """(ok, reason-if-not) — whether the fp (frame-sharded) step covers
+    this loss config.  The trainer warns and falls back to dp when not."""
+    if losscfg.get("loss_name") not in ("gpnn_lm", "gpnn"):
+        return False, "fp sharding implements the gpnn loss family"
+    if losscfg.get("stridet", 1) != 1:
+        return False, "fp sharding requires stridet == 1"
+    if losscfg.get("dist_fn", "mse") != "mse":
+        return False, "fp sharding implements the mse patch distance"
+    return True, ""
+
+
 def make_fp_stage2_step(model, args, ph, pw, losscfg, mesh,
                         param_keys=("atlas", "atlas_dyn", "verts")):
     """Stage-2 step sharded over ('dp', 'fp'): patch batch over dp,
@@ -177,11 +200,11 @@ def make_fp_stage2_step(model, args, ph, pw, losscfg, mesh,
     group_fn = opt_lib.make_group_fn(args.optimize_verts_gain)
     cfg = dict(losscfg)
     loss_name = cfg.pop("loss_name")
-    assert loss_name in ("gpnn_lm", "gpnn"), \
-        "fp sharding implements the gpnn loss family"
-    assert cfg.get("stridet", 1) == 1, "fp sharding requires stridet == 1"
-    assert cfg.get("dist_fn", "mse") == "mse", \
-        "fp sharding implements the mse patch distance"
+    ok, why = fp_supports(losscfg)
+    assert ok, why
+    if loss_name == "gpnn":
+        # macro-block-free direct variant == one full-rectangle crop
+        cfg["macro_block"] = None
     loss_gain = float(cfg.pop("loss_gain", 1.0))
     alpha = pnl._norm_alpha(cfg["alpha"])
     pt = cfg["patcht_size"]

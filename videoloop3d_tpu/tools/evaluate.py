@@ -11,8 +11,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from videoloop3d_tpu.backend import apply_backend_from_args
 from videoloop3d_tpu.config import build_parser, parse_args_with_configs
-from videoloop3d_tpu.eval.evaluate import evaluate
 
 
 def main(argv=None):
@@ -23,6 +23,9 @@ def main(argv=None):
     parser.add_argument("--with_svfid", action="store_true",
                         help="compute SVFID (needs VL3D_C3D_WEIGHTS)")
     args = parse_args_with_configs(argv, parser)
+    apply_backend_from_args(args)
+    from videoloop3d_tpu.eval.evaluate import evaluate
+
     np.random.seed(args.seed)
     flags = {}
     for name in args.skip.split(","):

@@ -11,12 +11,11 @@ import os
 
 import numpy as np
 
+from videoloop3d_tpu.backend import apply_backend_from_args
 from videoloop3d_tpu.config import build_parser, parse_args_with_configs
 from videoloop3d_tpu.core import cameras
 from videoloop3d_tpu.data import llff
 from videoloop3d_tpu.data.video import to8b, write_image, write_video
-from videoloop3d_tpu.eval.evaluate import load_mpv_from_run
-from videoloop3d_tpu.train.stage2 import render_eval
 
 
 def parse_time_selection(t_arg, render_t):
@@ -47,6 +46,9 @@ def main(argv=None):
                         help="vid or seq")
     parser.add_argument("--render_scaling", type=float, default=1)
     args = parse_args_with_configs(argv, parser)
+    apply_backend_from_args(args)
+    from videoloop3d_tpu.eval.evaluate import load_mpv_from_run
+    from videoloop3d_tpu.train.stage2 import render_eval
 
     datadir = os.path.join(args.prefix, args.datadir)
     render_frm = args.f if args.f > 0 \

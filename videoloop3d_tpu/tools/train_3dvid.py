@@ -6,12 +6,15 @@ from __future__ import annotations
 
 import numpy as np
 
+from videoloop3d_tpu.backend import apply_backend_from_args
 from videoloop3d_tpu.config import parse_args_with_configs
-from videoloop3d_tpu.train import stage2
 
 
 def main(argv=None):
     args = parse_args_with_configs(argv)
+    apply_backend_from_args(args)
+    from videoloop3d_tpu.train import stage2
+
     np.random.seed(args.seed)
     stage2.train(args)
 

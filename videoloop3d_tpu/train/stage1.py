@@ -21,7 +21,7 @@ from videoloop3d_tpu.data import llff
 from videoloop3d_tpu.data.patches import ImagePatchDataset
 from videoloop3d_tpu.data.video import to8b, write_video, write_image
 from videoloop3d_tpu.models import checkpoint as ckpt_io
-from videoloop3d_tpu.models.mpmesh import MPMesh
+from videoloop3d_tpu.models.mpmesh import MPMesh, convert_direct_to_sh
 from videoloop3d_tpu.models.sparsify import apply_tile_cull
 from videoloop3d_tpu.train import common, optimizer as opt_lib
 
@@ -182,6 +182,7 @@ def train(args, progress_cb=None):
     params = model.init_params(args.seed)
 
     def load_into_model(path):
+        import dataclasses as _dc
         loaded = ckpt_io.load_checkpoint(path)
         meta = loaded["meta"]
         model.geom = loaded["geom"]
@@ -190,6 +191,13 @@ def train(args, progress_cb=None):
         model.tile_map_static = loaded["tile_map_static"]
         model.tile_map_dyn = loaded["tile_map_dyn"]
         model.tile_hw = tuple(meta["tile_hw"]) if meta["tile_hw"] else None
+        # restore decoder type/activations the checkpoint was saved with
+        # (they can differ from args after a direct2sh conversion)
+        ex = meta.get("extra", {})
+        reps = {k: ex[k] for k in ("rgb_mlp_type", "rgb_activate",
+                                   "alpha_activate") if k in ex}
+        if reps:
+            model.cfg = _dc.replace(model.cfg, **reps)
         new_params = {k: jnp.asarray(v) for k, v in loaded["params"].items()}
         return new_params, meta
 
@@ -241,6 +249,17 @@ def train(args, progress_cb=None):
                 rm_first_layers=args.sparsify_rmfirstlayer)
             print(f"[stage1] tile culling: keep {cull_info['keep_frac']:.1%}"
                   f" of tiles, {cull_info['dyn_frac']:.1%} dynamic")
+            step_fn, opt_init, weight_keys = make_train_step(
+                model, args, ph, pw)
+            opt_state = opt_init(params)
+
+        # direct -> SH conversion event (ref train_3d.py:287-290):
+        # widen the atlas to SH coefficients, then rebuild the step
+        # (atlas channel count changed) and the optimizer state
+        if epoch == args.direct2sh_epoch \
+                and model.cfg.rgb_mlp_type == "direct":
+            print("[stage1] converting direct atlas to rgb_sh")
+            params = convert_direct_to_sh(model, params)
             step_fn, opt_init, weight_keys = make_train_step(
                 model, args, ph, pw)
             opt_state = opt_init(params)

@@ -152,12 +152,28 @@ def make_stage2_step(model: MPMeshVid, args, ph, pw, losscfg):
     return step, opt_init
 
 
+_eval_fwd_cache = {}
+
+
+def _eval_fwd(model, h, w):
+    """Jitted eval render, cached so per-frame preview loops don't pay a
+    re-trace/compile per call.  Keyed on the model identity plus every
+    shape-determining attribute that `lod` / culling can change (the
+    model ref is kept in the value so ids can't be recycled)."""
+    key = (id(model), model.geom, getattr(model, "frm_num", None),
+           model.tile_hw, model.is_sparse, h, w)
+    hit = _eval_fwd_cache.get(key)
+    if hit is None:
+        fn = jax.jit(lambda p, e, i, ts: model.render(
+            p, h, w, e, i, ts, training=False)[0])
+        _eval_fwd_cache[key] = (model, fn)
+        return fn
+    return hit[1]
+
+
 def render_eval(model, params, h, w, extrin, intrin, ts_list, chunk=2):
     """Chunked full-frame eval render (ref script_evaluate_ours.py:119)."""
-    @jax.jit
-    def fwd(p, e, i, ts):
-        rgb, _ = model.render(p, h, w, e, i, ts, training=False)
-        return rgb
+    fwd = _eval_fwd(model, h, w)
     frames = []
     ts_list = np.asarray(ts_list)
     for i in range(0, len(ts_list), chunk):
@@ -291,15 +307,21 @@ def train(args, progress_cb=None):
             return make_stage2_step(model, args, ph, pw, item_cfg) \
                 + (1,)
         from videoloop3d_tpu.parallel.dp_step import make_dp_stage2_step
-        from videoloop3d_tpu.parallel.fp_step import make_fp_stage2_step
+        from videoloop3d_tpu.parallel.fp_step import (fp_supports,
+                                                      make_fp_stage2_step)
         n_dp = mesh.shape["dp"]
-        if mesh.shape["fp"] > 1 and item_cfg["loss_name"] in ("gpnn_lm",
-                                                              "gpnn"):
-            step, init = make_fp_stage2_step(model, args, ph, pw,
-                                             item_cfg, mesh)
-        else:
-            step, init = make_dp_stage2_step(model, args, ph, pw,
-                                             item_cfg, mesh)
+        if mesh.shape["fp"] > 1:
+            ok, why = fp_supports(item_cfg)
+            if ok:
+                step, init = make_fp_stage2_step(model, args, ph, pw,
+                                                 item_cfg, mesh)
+                return step, init, n_dp
+            print(f"[stage2] WARNING: --mesh_fp={mesh.shape['fp']} "
+                  f"ignored for loss config "
+                  f"'{item_cfg['loss_name']}' ({why}); falling back to "
+                  f"dp-only over this config's patches")
+        step, init = make_dp_stage2_step(model, args, ph, pw,
+                                         item_cfg, mesh)
         return step, init, n_dp
 
     def batched_items(dataset):
@@ -324,7 +346,7 @@ def train(args, progress_cb=None):
     prof = common.Profiler(args, rundir)
     epoch_total = 0
     iter_total = 0
-    start_level, start_epoch = (0, 0)
+    start_level, start_epoch = (max(int(args.pyr_init_level), 0), 0)
     if resume_at is not None:
         start_level, start_epoch, epoch_total, iter_total = resume_at
     metrics = {}
