@@ -141,6 +141,82 @@ def test_gpnn_downsample_reduces_to_lowmem_and_runs():
     assert np.isfinite(l2) and l2 > 0
 
 
+def _numpy_gpnn_down(x, y, p, pt, s, st, macro, f, rou, scaling):
+    """Literal numpy port of the INTENDED reference gpnn_down algorithm
+    (ref utils_vid.py:352-434: macro-block loop, low-res brute-force NN
+    per spatial column, repeat_interleave index upsampling :245-248,
+    same-size full-res patch gather, overlap-add fold), written with
+    plain loops and no shared helpers from the implementation."""
+    C, Tx, H, W = x.shape
+    hd, wd = H // f, W // f
+    fit = lambda n, pp, ss: (n - pp) // ss * ss + pp
+    fhd, fwd = fit(hd, p, s), fit(wd, p, s)
+    ftx, fty = fit(Tx, pt, st), fit(y.shape[1], pt, st)
+    fh, fw = fhd * f, fwd * f
+    xs, ys = x[:, :ftx, :fh, :fw], y[:, :fty, :fh, :fw]
+    x_down = np.asarray(jax.image.resize(
+        jnp.asarray(xs), (C, ftx, fhd, fwd), "linear"))
+    y_down = np.asarray(jax.image.resize(
+        jnp.asarray(ys), (C, fty, fhd, fwd), "linear"))
+    macro = min(fit(macro, p, s), fhd, fwd)
+    mstride = macro - p + s
+    starts = lambda n: sorted({min(st0, n - macro)
+                               for st0 in range(0, n - macro + mstride,
+                                                mstride)})
+    nL = (macro - p) // s + 1
+    span = (nL * f - 1) * s + p
+    off = (p * (f - 1)) // 2
+    ntx = (ftx - pt) // st + 1
+    nty = (fty - pt) // st + 1
+    y2x = np.zeros((C, ftx, fh, fw))
+    wsum = np.zeros((ftx, fh, fw))
+    for h0 in starts(fhd):
+        for w0 in starts(fwd):
+            hF = min(h0 * f + off, fh - span)
+            wF = min(w0 * f + off, fw - span)
+            for ih in range(nL * f):
+                for iw in range(nL * f):
+                    # low-res parent column
+                    lh, lw = h0 + (ih // f) * s, w0 + (iw // f) * s
+                    for it in range(ntx):
+                        xp = x_down[:, it * st:it * st + pt,
+                                    lh:lh + p, lw:lw + p]
+                        best, bd = 0, np.inf
+                        for jt in range(nty):
+                            yp = y_down[:, jt * st:jt * st + pt,
+                                        lh:lh + p, lw:lw + p]
+                            d = np.mean((xp - yp) ** 2)
+                            if d < bd:
+                                bd, best = d, jt
+                        gh, gw = hF + ih * s, wF + iw * s
+                        y2x[:, it * st:it * st + pt, gh:gh + p,
+                            gw:gw + p] += ys[:, best * st:best * st + pt,
+                                             gh:gh + p, gw:gw + p]
+                        wsum[it * st:it * st + pt, gh:gh + p,
+                             gw:gw + p] += 1
+    mask = wsum > 0
+    out = y2x / np.clip(wsum, 1e-10, None)[None]
+    diff = (xs - out) * mask[None]
+    rl = np.asarray(P.robust_lossfun(jnp.asarray(diff), rou, scaling))
+    return float(rl.sum() / (mask.sum() * C))
+
+
+def test_gpnn_downsample_matches_numpy_port():
+    """The repeat_interleave index-upsampling implementation equals a
+    literal loop-based numpy port, single- and multi-crop."""
+    rng = np.random.default_rng(11)
+    x = rng.random((3, 5, 16, 16)).astype(np.float32)
+    y = rng.random((3, 5, 16, 16)).astype(np.float32)
+    for macro in (7, 32):          # multi-crop and single-crop paths
+        want = _numpy_gpnn_down(x, y, p=3, pt=3, s=2, st=1, macro=macro,
+                                f=2, rou="mse", scaling=0.2)
+        got = float(P.gpnn_downsample_loss(
+            jnp.asarray(x), jnp.asarray(y), patch_size=3, patcht_size=3,
+            stride=2, stridet=1, alpha=1e10, rou="mse", scaling=0.2,
+            macro_block=macro, factor=2))
+        assert np.isclose(got, want, rtol=1e-4), (macro, got, want)
+
+
 def test_mse_and_avg_losses():
     rng = np.random.default_rng(8)
     x = jnp.asarray(rng.random((3, 5, 8, 8)).astype(np.float32))

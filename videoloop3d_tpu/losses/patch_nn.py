@@ -388,62 +388,126 @@ def gpnn_direct_loss(x, y, *, patch_size=7, patcht_size=7, stride=1,
     return jnp.mean(robust_lossfun(diff, rou, scaling))
 
 
+@functools.lru_cache(maxsize=64)
+def _down_plan(Tx, Ty, H, W, psz, strides, macro, f):
+    """Static planning for gpnn_down: fitted sizes at the downsampled
+    scale, macro-crop starts at both scales, full-res fold weight+mask."""
+    (pt, p, _), (st, s, _) = psz, strides
+    assert p >= s, "gpnn_down needs patch_size >= stride"
+    hd, wd = H // f, W // f
+    fhd = fit_patch_size(hd, p, s)
+    fwd = fit_patch_size(wd, p, s)
+    ftx = fit_patch_size(Tx, pt, st)
+    fty = fit_patch_size(Ty, pt, st)
+    fh, fw = fhd * f, fwd * f
+    macro = fit_patch_size(min(macro, fhd, fwd), p, s)
+    hs = _macro_starts(fhd, macro, p, s)
+    ws = _macro_starts(fwd, macro, p, s)
+    nL = n_patches(macro, p, s)                  # low-res patches per axis
+    span = (nL * f - 1) * s + p                  # full-res crop extent
+    off = (p * (f - 1)) // 2                     # center patches on parents
+    hs_full = tuple(min(h0 * f + off, fh - span) for h0 in hs)
+    ws_full = tuple(min(w0 * f + off, fw - span) for w0 in ws)
+    w_crop = fold_weight((ftx, span, span), psz, (st, s, s))
+    weight = np.zeros((ftx, fh, fw), np.float32)
+    for h0 in hs_full:
+        for w0 in ws_full:
+            weight[:, h0:h0 + span, w0:w0 + span] += w_crop
+    mask = (weight > 0).astype(np.float32)
+    return (fhd, fwd, ftx, fty, fh, fw, macro, tuple(hs), tuple(ws),
+            nL, span, hs_full, ws_full, np.clip(weight, 1e-10, None), mask)
+
+
 def gpnn_downsample_loss(x, y, *, patch_size=7, patcht_size=7, stride=2,
                          stridet=2, alpha=1e10, rou=0, scaling=0.2,
-                         macro_block=64, factor=1, **_):
+                         macro_block=64, factor=1, dist_fn="mse", **_):
     """'gpnn_down': NN indices found on a bilinearly-downsampled video,
-    then applied to full-res patches (ref utils_vid.py:352-434).  With
-    factor == 1 it reduces to gpnn_lm."""
+    ``repeat_interleave``-upsampled to the full-res patch grid, then used
+    to gather SAME-SIZE full-res patches which are folded back (ref
+    utils_vid.py:352-434 Patch3DGPNNLowMemDownSampleLoss +
+    FindDownSampleNNAndMerge:244-263).  With factor <= 1 it reduces to
+    gpnn_lm (the reference class is only coherent for factor 2).
+
+    Index-upsampling scheme (ref utils_vid.py:245-248): each full-res
+    patch at grid position i (stride `stride`, offset (p*(f-1))//2 so
+    patches center on their low-res parents, ref :404-405 for f=2)
+    inherits the temporal NN of low-res patch i // factor.
+
+    Deliberate deviations from the reference text, which crashes when run
+    (its full-res re-gather reshapes an n_full-patch grid by the low-res
+    patch count, utils_vid.py:250-253, and its start arithmetic hardcodes
+    factor 2): the full-res grid is sized so every full-res patch has a
+    parent (n_full = n_low*factor exactly), and voxels never covered by a
+    folded patch are excluded from the loss instead of dividing 0/0.
+    """
     if factor <= 1:
         return gpnn_lowmem_loss(
             x, y, patch_size=patch_size, patcht_size=patcht_size,
             stride=stride, stridet=stridet, alpha=alpha, rou=rou,
-            scaling=scaling, macro_block=macro_block)
+            scaling=scaling, macro_block=macro_block, dist_fn=dist_fn)
+    f = int(factor)
+    p, pt, s, st = patch_size, patcht_size, stride, stridet
+    psz = (pt, p, p)
+    strides = (st, s, s)
     C, Tx, H, W = x.shape
-    h_down, w_down = H // factor, W // factor
-    xs = jax.lax.stop_gradient(x)
-    ys = jax.lax.stop_gradient(y)
-    x_down = jax.image.resize(xs, (C, Tx, h_down, w_down), "linear")
-    y_down = jax.image.resize(ys, ys.shape[:2] + (h_down, w_down), "linear")
-    # NN at low res with stride*factor effective spacing at full res:
-    # the reference upsamples NN indices; equivalent up to the boundary
-    # rows, we search at low res and retarget full-res patches on the
-    # matching full-res grid (stride*factor).
-    psz = (patcht_size, patch_size * factor, patch_size * factor)
-    strides = (stridet, stride * factor, stride * factor)
-    psz_d = (patcht_size, patch_size, patch_size)
-    strides_d = (stridet, stride, stride)
-    ft = fit_patch_size(Tx, patcht_size, stridet)
-    fty = fit_patch_size(ys.shape[1], patcht_size, stridet)
-    fh_d = fit_patch_size(h_down, patch_size, stride)
-    fw_d = fit_patch_size(w_down, patch_size, stride)
-    fh, fw = fh_d * factor, fw_d * factor
-    Xp = extract_patches_3d(x_down[:, :ft, :fh_d, :fw_d], psz_d, strides_d)
-    Yp = extract_patches_3d(y_down[:, :fty, :fh_d, :fw_d], psz_d, strides_d)
-    ntx, nh, nw = Xp.shape[:3]
-    nty = Yp.shape[0]
-    dim = int(np.prod(Xp.shape[3:]))
-    nns = nn_indices(
-        Xp.reshape(ntx, nh * nw, dim).transpose(1, 0, 2),
-        Yp.reshape(nty, nh * nw, dim).transpose(1, 0, 2),
-        _norm_alpha(alpha))                               # (B, ntx)
-    # gather full-res patches at the upsampled grid
-    fh = min(fh, fit_patch_size(H, psz[1], strides[1]))
-    fw = min(fw, fit_patch_size(W, psz[2], strides[2]))
-    Xf = extract_patches_3d(xs[:, :ft, :fh, :fw], psz, strides)
-    Yf = extract_patches_3d(ys[:, :fty, :fh, :fw], psz, strides)
-    ntx2, nh2, nw2 = Xf.shape[:3]
-    dim2 = int(np.prod(Xf.shape[3:]))
-    nns = nns.reshape(nh, nw, ntx)[:nh2, :nw2].reshape(nh2 * nw2, ntx)
-    Yff = Yf.reshape(Yf.shape[0], nh2 * nw2, dim2).transpose(1, 0, 2)
-    sel = jnp.take_along_axis(Yff, nns[:, :ntx2, None], axis=1)
-    sel = sel.transpose(1, 0, 2).reshape(Xf.shape)
-    y2x = fold_patches_3d(sel, (ft, fh, fw), strides)
-    weight = jnp.asarray(
-        np.clip(fold_weight((ft, fh, fw), psz, strides), 1e-10, None))
-    y2x = y2x / weight[None]
-    diff = x[:, :ft, :fh, :fw] - y2x
-    return jnp.mean(robust_lossfun(diff, rou, scaling))
+    (fhd, fwd, ftx, fty, fh, fw, macro, hs, ws, nL, span, hs_full,
+     ws_full, weight_np, mask_np) = _down_plan(
+        Tx, y.shape[1], H, W, psz, strides, macro_block, f)
+    alpha = _norm_alpha(alpha)
+
+    xs = jax.lax.stop_gradient(x)[:, :ftx, :fh, :fw]
+    ys = jax.lax.stop_gradient(y)[:, :fty, :fh, :fw]
+    x_down = jax.image.resize(xs, (C, ftx, fhd, fwd), "linear")
+    y_down = jax.image.resize(ys, (C, fty, fhd, fwd), "linear")
+
+    xd_crops = jnp.stack([x_down[..., h0:h0 + macro, w0:w0 + macro]
+                          for h0 in hs for w0 in ws])
+    yd_crops = jnp.stack([y_down[..., h0:h0 + macro, w0:w0 + macro]
+                          for h0 in hs for w0 in ws])
+    yf_crops = jnp.stack([ys[..., h0:h0 + span, w0:w0 + span]
+                          for h0 in hs_full for w0 in ws_full])
+
+    def crop_retarget(args_):
+        xd, yd, yf = args_
+        # low-res temporal NN per spatial column
+        Xp = extract_patches_3d(xd, psz, strides)
+        Yp = extract_patches_3d(yd, psz, strides)
+        ntx = Xp.shape[0]
+        nty = Yp.shape[0]
+        dim = int(np.prod(Xp.shape[3:]))
+        nns = nn_indices(
+            Xp.reshape(ntx, nL * nL, dim).transpose(1, 0, 2),
+            Yp.reshape(nty, nL * nL, dim).transpose(1, 0, 2),
+            alpha, dist_fn)                               # (nL*nL, ntx)
+        # repeat_interleave over both spatial axes (ref :245-248)
+        nns_up = nns.reshape(nL, nL, ntx)
+        nns_up = jnp.repeat(jnp.repeat(nns_up, f, axis=0), f, axis=1)
+        nF = nL * f
+        nns_up = nns_up.reshape(nF * nF, ntx)
+        # gather full-res patches of y at the upsampled index grid
+        Yfp = extract_patches_3d(yf, psz, strides)        # (nty,nF,nF,...)
+        dimF = int(np.prod(Yfp.shape[3:]))
+        Yff = Yfp.reshape(nty, nF * nF, dimF).transpose(1, 0, 2)
+        sel = jnp.take_along_axis(Yff, nns_up[..., None], axis=1)
+        sel = sel.transpose(1, 0, 2).reshape((ntx, nF, nF) + Yfp.shape[3:])
+        return fold_patches_3d(sel, (ftx, span, span), strides)
+
+    chunk = max(1, min(len(xd_crops), 8 if p <= 7 else 2))
+    y2x_crops = jax.lax.map(crop_retarget, (xd_crops, yd_crops, yf_crops),
+                            batch_size=chunk)
+
+    y2x = jnp.zeros((C, ftx, fh, fw), x.dtype)
+    ci = 0
+    for h0 in hs_full:
+        for w0 in ws_full:
+            y2x = y2x.at[..., h0:h0 + span, w0:w0 + span].add(
+                y2x_crops[ci])
+            ci += 1
+    y2x = y2x / jnp.asarray(weight_np)[None]
+    mask = jnp.asarray(mask_np)[None]
+    diff = (x[:, :ftx, :fh, :fw] - y2x) * mask   # robust(0) == 0 outside
+    return jnp.sum(robust_lossfun(diff, rou, scaling)) \
+        / (jnp.sum(mask) * C)
 
 
 def video_mse_loss(x, y, **_):
