@@ -91,12 +91,14 @@ class LPIPS:
         fb = self._features(b)
         total = 0.0
         for i, (xa, xb) in enumerate(zip(fa, fb)):
-            na = xa / jnp.sqrt(jnp.sum(xa * xa, 1, keepdims=True) + 1e-10)
-            nb = xb / jnp.sqrt(jnp.sum(xb * xb, 1, keepdims=True) + 1e-10)
+            # normalize_tensor eps OUTSIDE the sqrt (ref lpips.py:12-14)
+            na = xa / (jnp.sqrt(jnp.sum(xa * xa, 1, keepdims=True))
+                       + 1e-10)
+            nb = xb / (jnp.sqrt(jnp.sum(xb * xb, 1, keepdims=True))
+                       + 1e-10)
             diff = (na - nb) ** 2
             w = self.weights[f"lin{i}/w"]          # (1, C, 1, 1)
-            proj = jnp.sum(diff * jnp.maximum(w, 0.0)[0, :, :, :][None],
-                           axis=1, keepdims=True)
+            proj = jnp.sum(diff * w[0][None], axis=1, keepdims=True)
             total = total + jnp.mean(proj, axis=(2, 3))
         return total[:, 0]
 

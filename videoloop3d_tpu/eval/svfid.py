@@ -16,10 +16,13 @@ import jax
 import jax.numpy as jnp
 from scipy import linalg
 
-# (out_channels, pool (d, h, w)) per conv stage; all kernels 3x3x3 pad 1
-_C3D_CFG = [(64, (1, 2, 2)), (128, (2, 2, 2)), (256, None),
-            (256, (2, 2, 2)), (512, None), (512, (2, 2, 2)),
-            (512, None), (512, (2, 2, 2))]
+# (out_channels, pool (d, h, w), pool padding) per conv stage; all conv
+# kernels 3x3x3 pad 1.  The final pool pads (0, 1, 1) like the
+# reference's pool5 (ref C3D_model.py:29).
+_C3D_CFG = [(64, (1, 2, 2), None), (128, (2, 2, 2), None),
+            (256, None, None), (256, (2, 2, 2), None),
+            (512, None, None), (512, (2, 2, 2), None),
+            (512, None, None), (512, (2, 2, 2), (0, 1, 1))]
 
 
 def convert_torch_weights(c3d_pickle, out_npz):
@@ -53,7 +56,7 @@ class C3DFeatures:
     def _forward(self, x):
         """x: (B, 3, F, H, W) -> conv5b features."""
         h = x
-        for i, (oc, pool) in enumerate(_C3D_CFG):
+        for i, (oc, pool, ppad) in enumerate(_C3D_CFG):
             w = self.weights[f"conv{i}/w"]
             b = self.weights[f"conv{i}/b"]
             h = jax.lax.conv_general_dilated(
@@ -61,9 +64,11 @@ class C3DFeatures:
                 dimension_numbers=("NCDHW", "OIDHW", "NCDHW"))
             h = jax.nn.relu(h + b[None, :, None, None, None])
             if pool is not None:
+                pad = [(0, 0), (0, 0)] + [(q, q) for q in (ppad
+                                                           or (0, 0, 0))]
                 h = jax.lax.reduce_window(
                     h, -jnp.inf, jax.lax.max, (1, 1) + pool,
-                    (1, 1) + pool, "VALID")
+                    (1, 1) + pool, pad)
         return h
 
     def __call__(self, video):
