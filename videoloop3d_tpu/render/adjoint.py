@@ -225,15 +225,82 @@ def block_plan_for(geom, h, w, image_hw, block_hw=(16, 32), margin=1.35):
     return (bh, bw), (tbh, tbw)
 
 
+def _block_matmul_sample(atlas, x, y, block_hw, tb_hw):
+    """Gather-free bilinear sampling: the exact TRANSPOSE of
+    `_block_matmul_atlas_grad`.
+
+    Per (view, plane, pixel block): dynamic-slice the block's texel
+    window (positioned by the masked min of the sample coords, same rule
+    as the backward), build the separable per-axis bilinear weights, and
+    contract on the MXU:
+
+        val[p, c] = sum_{th, tw} wy[p, th] * wx[p, tw] * win[th, tw, c]
+
+    This reproduces `bilinear_planes`' corner-masked semantics exactly
+    (texels outside the atlas are not in the window -> zero
+    contribution; samples far outside get all-zero weights) under the
+    same coverage condition as the backward: tb_hw must span the
+    block's sample spread (block_plan_for's margin).
+
+    The dense gather this replaces is descriptor-rate bound (~30M
+    descriptors/s on v5e); the contraction form reads the atlas with a
+    few thousand contiguous window slices and does the interpolation as
+    MXU matmuls — measured 187 ms -> ~8 ms for the production stage-1
+    sample.
+
+    atlas: (D, Ht, Wt, C); x, y: (B, D, h, w).  Returns (B, D, h, w, C).
+    """
+    B, D, h, w = x.shape
+    Ht, Wt, C = atlas.shape[1:]
+    bh, bw = block_hw
+    tbh, tbw = tb_hw
+    assert h % bh == 0 and w % bw == 0, (h, w, block_hw)
+    nbh, nbw = h // bh, w // bw
+
+    def blockify(a):
+        a = a.reshape(B, D, nbh, bh, nbw, bw)
+        a = jnp.moveaxis(a, 4, 3)
+        return a.reshape(B * D * nbh * nbw, bh * bw)
+
+    xs = blockify(x)
+    ys = blockify(y)
+    d_idx = jnp.broadcast_to(
+        jnp.arange(D, dtype=jnp.int32)[None, :, None],
+        (B, D, nbh * nbw)).reshape(-1)
+
+    def per_block(sx, sy, d):
+        valid = (sx > -1.0) & (sx < Wt) & (sy > -1.0) & (sy < Ht)
+        big = jnp.float32(1e9)
+        x0 = jnp.floor(jnp.min(jnp.where(valid, sx, big))).astype(jnp.int32)
+        y0 = jnp.floor(jnp.min(jnp.where(valid, sy, big))).astype(jnp.int32)
+        any_valid = jnp.any(valid)
+        x0 = jnp.clip(jnp.where(any_valid, x0 - 1, 0), 0,
+                      max(Wt - tbw, 0))
+        y0 = jnp.clip(jnp.where(any_valid, y0 - 1, 0), 0,
+                      max(Ht - tbh, 0))
+        win = jax.lax.dynamic_slice(atlas, (d, y0, x0, 0),
+                                    (1, tbh, tbw, C))[0]
+        tx = (x0 + jnp.arange(tbw)).astype(jnp.float32)
+        ty = (y0 + jnp.arange(tbh)).astype(jnp.float32)
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(sx[:, None] - tx[None]))
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(sy[:, None] - ty[None]))
+        wy = wy * jnp.where(any_valid, 1.0, 0.0)
+        hi = jax.lax.Precision.HIGHEST
+        tmp = jnp.einsum("pw,hwc->phc", wx, win, precision=hi)
+        return jnp.einsum("ph,phc->pc", wy, tmp, precision=hi)
+
+    vals = jax.lax.map(lambda t: per_block(*t), (xs, ys, d_idx),
+                       batch_size=256)              # (NB, bh*bw, C)
+    vals = vals.reshape(B, D, nbh, nbw, bh, bw, C)
+    vals = jnp.moveaxis(vals, 3, 4)                 # (B,D,nbh,bh,nbw,bw,C)
+    return vals.reshape(B, D, h, w, C)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def sample_dense_blockadj(atlas, x, y, M, block_hw, tb_hw):
-    """`sample_dense` with the block-matmul backward (M unused in the
-    backward; kept for interface symmetry and future use)."""
-    B, D, h, w = x.shape
-    vals, _ = jax.vmap(
-        lambda xx, yy: bilinear_planes(atlas, xx, yy))(
-            x.reshape(B, D, h * w), y.reshape(B, D, h * w))
-    return vals.reshape(B, D, h, w, atlas.shape[-1])
+    """`sample_dense` computed gather-free (block-matmul forward) with
+    the block-matmul backward (M unused; kept for interface symmetry)."""
+    return _block_matmul_sample(atlas, x, y, block_hw, tb_hw)
 
 
 def _badj_fwd(atlas, x, y, M, block_hw, tb_hw):
