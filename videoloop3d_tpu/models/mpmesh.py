@@ -278,6 +278,12 @@ class MPMesh:
             sample_coords = R.add_texel_noise(coords, sub)
 
         decoder = params.get("decoder")
+        # The loop-mask plane is sampled at the same coordinates as the
+        # atlas; fusing it in as one extra channel makes it ride the same
+        # sampling pass (fwd AND adjoint bwd) instead of paying a second,
+        # MXU-hostile C=1 pass (measured 132 -> ~80 ms/step).
+        need_mask = cfg.learn_loop_mask and not self.is_sparse
+        mask_feats = None
         use_adjoint = (self.cfg.fast_stage1_grad and training
                        and not self.is_sparse
                        and not (self.cfg.add_uv_noise and rng is not None))
@@ -289,13 +295,23 @@ class MPMesh:
                 extrins, intrins)
             block_hw, tb_hw = ADJ.block_plan_for(self.geom, h, w,
                                                  (self.H, self.W))
+            src = params["atlas"]
+            if need_mask:
+                src = jnp.concatenate([src, params["atlas_mask"]], -1)
             feats = ADJ.sample_dense_blockadj(
-                params["atlas"], sample_coords.x, sample_coords.y, M,
+                src, sample_coords.x, sample_coords.y, M,
                 block_hw, tb_hw)
+            if need_mask:
+                feats, mask_feats = feats[..., :-1], feats[..., -1:]
             rgb_p, alpha_p = self._decode(feats, coords, intrins, extrins,
                                           decoder)
         elif not self.is_sparse:
-            feats = R.sample_dense(params["atlas"], sample_coords)
+            src = params["atlas"]
+            if need_mask:
+                src = jnp.concatenate([src, params["atlas_mask"]], -1)
+            feats = R.sample_dense(src, sample_coords)
+            if need_mask:
+                feats, mask_feats = feats[..., :-1], feats[..., -1:]
             rgb_p, alpha_p = self._decode(feats, coords, intrins, extrins,
                                           decoder)
         else:
@@ -330,15 +346,7 @@ class MPMesh:
         }
 
         rgbl = out_rgb
-        if cfg.learn_loop_mask and not self.is_sparse:
-            if use_adjoint:
-                from videoloop3d_tpu.render import adjoint as ADJ
-                mask_feats = ADJ.sample_dense_blockadj(
-                    params["atlas_mask"], sample_coords.x,
-                    sample_coords.y, M, block_hw, tb_hw)
-            else:
-                mask_feats = R.sample_dense(params["atlas_mask"],
-                                            sample_coords)
+        if need_mask:
             label_p = jax.nn.sigmoid(mask_feats[..., 0])
             label_p = jnp.where(coords.valid, label_p, 0.0)
             # loop-mask composite uses DETACHED alpha (ref MPI.py:578)
