@@ -295,12 +295,14 @@ class MPMesh:
                 extrins, intrins)
             block_hw, tb_hw = ADJ.block_plan_for(self.geom, h, w,
                                                  (self.H, self.W))
+            grad_plan = ADJ.bwd_block_plan_for(self.geom, h, w,
+                                               (self.H, self.W))
             src = params["atlas"]
             if need_mask:
                 src = jnp.concatenate([src, params["atlas_mask"]], -1)
             feats = ADJ.sample_dense_blockadj(
                 src, sample_coords.x, sample_coords.y, M,
-                block_hw, tb_hw)
+                block_hw, tb_hw, grad_plan)
             if need_mask:
                 feats, mask_feats = feats[..., :-1], feats[..., -1:]
             rgb_p, alpha_p = self._decode(feats, coords, intrins, extrins,
