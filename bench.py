@@ -1,4 +1,5 @@
-"""Benchmark: stage-2 training step at the reference's production scale.
+"""Benchmark: stage-1 + stage-2 training steps at the reference's
+production scale.
 
 Measures one full optimization iteration (render all frames of a training
 patch + GPNN looping loss + regularizers + Adam) on the hot
@@ -14,8 +15,16 @@ the finest level, accounting for ~half the pixel-weighted cost ->
 1.2-2.4 s per finest-level iteration; we use the midpoint 1800 ms.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": ..., "unit": "ms", "vs_baseline": ...}
-(vs_baseline > 1 means faster than the reference.)
+  {"metric": ..., "value": ..., "unit": "ms", "vs_baseline": ...,
+   "stage1_step_ms": ..., "stage1_vs_baseline": ...}
+(vs_baseline > 1 means faster than the reference.)  The headline
+metric/value stays the stage-2 step; the stage-1 step (measured in a
+subprocess first — the TPU chip is exclusive) rides along as extra keys.
+
+Stage-1 baseline derivation (BASELINE.md: 10-15 min full 140-epoch
+schedule on an RTX 3090 at 640x360): 140 epochs x ~90 patches (9 per
+view x ~10 views) = 12,600 steps in 600-900 s -> 48-71 ms/step; we use
+the midpoint 60 ms.
 """
 import argparse
 import json
@@ -28,6 +37,70 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 BASELINE_STEP_MS = 1800.0
+BASELINE_STAGE1_STEP_MS = 60.0
+
+
+def run_stage1_bench(iters):
+    """Stage-1 production-scale step time (called with --stage1-internal
+    in a fresh subprocess so the chip is free for stage 2 afterwards)."""
+    import time as _t
+
+    import jax
+    import jax.numpy as jnp
+    from videoloop3d_tpu.config import parse_args_with_configs
+    from videoloop3d_tpu.models.mpmesh import MPMesh
+    from videoloop3d_tpu.train import stage1
+
+    H, W = 360, 640
+    argv = ["--mpi_h_scale", "1.6", "--mpi_w_scale", "1.6",
+            "--mpi_h_verts", "36", "--mpi_w_verts", "64",
+            "--mpi_d", "32", "--atlas_grid_h", "4",
+            "--patch_h_size", "180", "--patch_w_size", "320",
+            "--scale_invariant", "--add_intrin_noise", "--learn_loop_mask",
+            "--fast_stage1_grad",
+            "--sparsity_loss_weight", "0.004",
+            "--rgb_smooth_loss_weight", "0.2",
+            "--a_smooth_loss_weight", "0.5",
+            "--density_loss_weight", "0.02", "--density_loss_epoch", "60",
+            "--lrate", "0.05"]
+    args = parse_args_with_configs(argv)
+    ref_extrin = np.eye(4, dtype=np.float32)
+    focal = 0.9 * W
+    ref_intrin = np.array([[focal, 0, W / 2], [0, focal, H / 2],
+                           [0, 0, 1]], np.float32)
+    model = MPMesh(args, H, W, ref_extrin, ref_intrin, 2.0, 10.0)
+    params = model.init_params(1)
+    ph, pw = 180, 320
+    step_fn, opt_init, wk = stage1.make_train_step(model, args, ph, pw)
+    opt_state = opt_init(params)
+    weights = {k: jnp.asarray(0.1, jnp.float32) for k in wk}
+    rngk = jax.random.PRNGKey(0)
+    ext = np.eye(4, dtype=np.float32)[None]
+    ext[:, 0, 3] = 0.05
+    pi = ref_intrin.copy()
+    pi[0, 2] -= (W - pw) / 2
+    pi[1, 2] -= (H - ph) / 2
+    rng = np.random.default_rng(0)
+    batch = {"extrin": jnp.asarray(ext), "intrin": jnp.asarray(pi[None]),
+             "rgb": jnp.asarray(rng.random((1, ph, pw, 3),
+                                           dtype=np.float32)),
+             "loopmask": jnp.asarray(rng.random((1, ph, pw),
+                                                dtype=np.float32))}
+    lr = jnp.asarray(0.01, jnp.float32)
+    for _ in range(4):                      # compile + donation warmups
+        params, opt_state, m = step_fn(params, opt_state, batch, lr,
+                                       weights, rngk)
+        _ = float(m["loss"])
+    n = max(iters, 10)
+    t0 = _t.perf_counter()
+    for i in range(n):                      # trainer-cadence sync (1-in-5)
+        params, opt_state, m = step_fn(params, opt_state, batch, lr,
+                                       weights, rngk)
+        if (i + 1) % 5 == 0:
+            _ = float(m["loss"])
+    _ = float(m["loss"])
+    step_ms = (_t.perf_counter() - t0) / n * 1000
+    print(json.dumps({"stage1_step_ms": round(step_ms, 2)}))
 
 
 def build_bench_setup(quick=False, fast_grad=False, no_remat=False):
@@ -129,7 +202,36 @@ def main():
                     help="bench with --no_render_remat (keep render "
                          "activations; needs fast_grad to fit HBM), "
                          "ON like the shipped configs")
+    ap.add_argument("--stage1", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="also measure the stage-1 step (subprocess) and "
+                         "merge it into the JSON line")
+    ap.add_argument("--stage1-internal", action="store_true",
+                    help=argparse.SUPPRESS)
     opts = ap.parse_args()
+
+    if opts.stage1_internal:
+        run_stage1_bench(opts.iters)
+        return
+
+    stage1_ms = None
+    if opts.stage1 and not opts.quick and not opts.cpu:
+        # measure stage 1 in its own process BEFORE this one touches the
+        # (exclusive) TPU chip
+        import subprocess
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--stage1-internal", "--iters", str(max(opts.iters, 10))],
+            capture_output=True, text=True, timeout=900)
+        for line in r.stdout.splitlines():
+            try:
+                stage1_ms = json.loads(line)["stage1_step_ms"]
+                break
+            except (ValueError, KeyError):
+                continue
+        if stage1_ms is None and opts.verbose:
+            print("stage-1 bench failed:", r.stdout[-500:],
+                  r.stderr[-500:], file=sys.stderr)
 
     if opts.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
@@ -190,9 +292,13 @@ def main():
     if opts.bf16:
         metric += "_bf16"
     vs = BASELINE_STEP_MS / step_ms if not opts.quick else float("nan")
-    print(json.dumps({"metric": metric, "value": round(step_ms, 2),
-                      "unit": "ms",
-                      "vs_baseline": round(vs, 3) if vs == vs else None}))
+    out = {"metric": metric, "value": round(step_ms, 2), "unit": "ms",
+           "vs_baseline": round(vs, 3) if vs == vs else None}
+    if stage1_ms is not None:
+        out["stage1_step_ms"] = stage1_ms
+        out["stage1_vs_baseline"] = round(
+            BASELINE_STAGE1_STEP_MS / stage1_ms, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
