@@ -80,11 +80,28 @@ def make_train_step(model: MPMesh, args, h, w):
     return step, opt_init, weight_keys
 
 
+_preview_fwd_cache = {}
+
+
+def _preview_fwd(model, h, w):
+    """Jitted eval render, cached so repeated preview epochs don't pay a
+    re-trace/compile per call (keyed on every shape-determining model
+    attribute; the model ref is kept so ids can't be recycled)."""
+    key = (id(model), model.geom, model.is_sparse, model.tile_hw,
+           model.cfg.rgb_mlp_type, h, w)
+    hit = _preview_fwd_cache.get(key)
+    if hit is None:
+        fn = jax.jit(lambda p, e, i: model.forward(p, h, w, e, i,
+                                                   training=False)[0])
+        _preview_fwd_cache[key] = (model, fn)
+        return fn
+    return hit[1]
+
+
 def render_preview(model, params, h, w, render_extrins, render_intrins,
                    chunk=8):
     """Render the spiral path (eval mode, full frames)."""
-    fwd = jax.jit(lambda p, e, i: model.forward(p, h, w, e, i,
-                                                training=False)[0])
+    fwd = _preview_fwd(model, h, w)
     frames = []
     for i in range(len(render_extrins)):
         rgbl = fwd(params, jnp.asarray(render_extrins[i:i + 1]),
