@@ -111,6 +111,28 @@ def test_stage1_direct2sh_event(tmp_path):
     assert params2["atlas"].shape[-1] == 13
 
 
+def test_stage1_optimize_geo_event(tmp_path):
+    """--optimize_geo_start flips the render to the differentiable
+    vertex warp mid-run; training continues with loss decreasing and
+    the verts receiving (finite) updates."""
+    scene = synthetic.make_scene(n_views=3, h=24, w=32, n_frames=4, seed=0)
+    scene_dir = str(tmp_path / "scene")
+    synthetic.write_llff_dir(scene, scene_dir, factor=1)
+    args = _debug_args(tmp_path, scene_dir, sparsify_epoch="-1",
+                       optimize_geo_start="3", N_iters="6",
+                       optimize_verts_gain="0.1")
+    history = []
+    model, params, _ = stage1.train(
+        args, progress_cb=lambda e, m: history.append(float(m["loss"])))
+    assert model.optimize_geometry
+    import numpy as _np
+    v0 = model.geom.vertex_grid()
+    dv = _np.abs(_np.asarray(params["verts"]) - v0)
+    assert _np.isfinite(dv).all()
+    assert dv.max() > 0, "verts never updated"
+    assert history[-1] < history[2], history
+
+
 def test_stage1_patch_batching(tmp_path):
     """patch_batch > 1 trains on stacked patches and still improves."""
     from videoloop3d_tpu.data import synthetic

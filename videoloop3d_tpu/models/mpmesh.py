@@ -115,6 +115,7 @@ class MPMeshConfig:
     fast_stage1_grad: bool = False
     fast_stage2_grad: bool = False
     bg_color: str = ""
+    normalize_verts: bool = False
     edge_scale: float = 4.0
     normalize_blendweight_fordepth: bool = False
     sparsity_eps: float = 1e-6
@@ -142,6 +143,7 @@ class MPMeshConfig:
             fast_stage2_grad=bool(getattr(args, "fast_stage2_grad",
                                           False)),
             bg_color=args.bg_color,
+            normalize_verts=bool(getattr(args, "normalize_verts", False)),
             edge_scale=float(args.edge_scale),
             normalize_blendweight_fordepth=bool(
                 args.normalize_blendweight_fordepth),
@@ -204,6 +206,9 @@ class MPMesh:
         self.tile_map_static: Optional[np.ndarray] = None
         self.tile_map_dyn: Optional[np.ndarray] = None
         self.tile_hw: Optional[tuple] = None
+        # flipped by the trainer at epoch >= optimize_geo_start (a
+        # trace-time switch: the step is rebuilt; ref MPI.py:152-156)
+        self.optimize_geometry = False
 
     @classmethod
     def from_geometry(cls, geom: MPIGeometry, cfg: MPMeshConfig, H, W):
@@ -216,6 +221,7 @@ class MPMesh:
         obj.tile_map_static = None
         obj.tile_map_dyn = None
         obj.tile_hw = None
+        obj.optimize_geometry = False
         return obj
 
     # ------------------------------------------------------------------
@@ -227,9 +233,14 @@ class MPMesh:
         atlas = rng.random((g.n_planes, g.mpi_h, g.mpi_w, C),
                            dtype=np.float32)
         atlas[..., -1] = ALPHA_INIT_VAL
+        verts = g.vertex_grid()
+        if self.cfg.normalize_verts:           # ref MPI.py:68-70
+            depths = g.depths_np()
+            verts = (verts.reshape(g.n_planes, -1)
+                     / depths[:, None]).reshape(verts.shape)
         params = {
             "atlas": jnp.asarray(atlas),
-            "verts": jnp.asarray(g.vertex_grid()),
+            "verts": jnp.asarray(verts),
         }
         if self.cfg.learn_loop_mask:
             params["atlas_mask"] = jnp.full(
@@ -271,7 +282,15 @@ class MPMesh:
         variables carries per-plane stacks for the regularizers.
         """
         cfg = self.cfg
-        coords = R.warp_coordinates(self.geom, extrins, intrins, h, w)
+        if self.optimize_geometry and not self.is_sparse:
+            # differentiable vertex-grid warp (ref MPI.py:452-536); the
+            # closed-form sweep is the verts == flat special case
+            from videoloop3d_tpu.render import geo_warp as GW
+            coords = GW.warp_coordinates_verts(
+                self.geom, params["verts"], extrins, intrins, h, w,
+                normalize=cfg.normalize_verts)
+        else:
+            coords = R.warp_coordinates(self.geom, extrins, intrins, h, w)
         sample_coords = coords
         if cfg.add_uv_noise and training and rng is not None:
             rng, sub = jax.random.split(rng)
@@ -286,6 +305,7 @@ class MPMesh:
         mask_feats = None
         use_adjoint = (self.cfg.fast_stage1_grad and training
                        and not self.is_sparse
+                       and not self.optimize_geometry
                        and not (self.cfg.add_uv_noise and rng is not None))
         if use_adjoint:
             # gather-based atlas gradient (exact; render/adjoint.py)

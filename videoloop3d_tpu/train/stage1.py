@@ -281,6 +281,18 @@ def train(args, progress_cb=None):
                 model, args, ph, pw)
             opt_state = opt_init(params)
 
+        # vertex-geometry optimization event (ref MPI.py:152-156 gates on
+        # step >= optimize_geo_start): re-specialize the step so the
+        # render goes through the differentiable vertex warp.  Dense
+        # phase only — after culling the packed-tile path keeps the flat
+        # grid (the reference's shipped configs never enable this).
+        if (not model.optimize_geometry and not model.is_sparse
+                and epoch >= args.optimize_geo_start):
+            print("[stage1] enabling vertex-geometry optimization")
+            model.optimize_geometry = True
+            step_fn, opt_init, weight_keys = make_train_step(
+                model, args, ph, pw)
+
         # density-weight quadratic ramp (ref train_3d.py:292-293)
         pct = np.clip(epoch / (args.density_loss_epoch + 1), 0, 1)
         weights = dict(weights_base)
