@@ -177,6 +177,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh_fp", type=int, default=0,
                    help="frame-parallel axis size (0 = auto: largest "
                         "divisor of the loop length that fits)")
+    # multi-host (one process per host; see parallel/distributed.py)
+    p.add_argument("--coordinator_address", type=str, default="",
+                   help="host:port of process 0 for "
+                        "jax.distributed.initialize (multi-host runs; "
+                        "JAX env vars work too)")
+    p.add_argument("--num_processes", type=int, default=0,
+                   help="total processes in the multi-host job "
+                        "(0 = single process / autodetect)")
+    p.add_argument("--process_id", type=int, default=-1,
+                   help="this process's id in the multi-host job "
+                        "(-1 = autodetect)")
     return p
 
 

@@ -1,0 +1,128 @@
+"""Multi-host distribution: coordination-service entry, DCN-aware
+meshes, and global batch placement.
+
+The reference has no distribution at all (an inert single-GPU
+``nn.DataParallel``, train_3dvid.py:151); scale-out here follows the
+standard JAX multi-process recipe (SURVEY §2.3/§5):
+
+* one process per host calls :func:`init_distributed`
+  (``jax.distributed.initialize``) BEFORE any backend touch;
+* :func:`make_global_mesh` builds the ('dp', 'fp') mesh so the frame
+  ring ('fp' — halo exchange every step, see fp_step.py) stays inside a
+  host's ICI while data-parallel ('dp' — ONE gradient psum per step)
+  is what spans the DCN;
+* :func:`commit_batch` turns the host-built global batch into global
+  jax.Arrays (every process builds the same batch from the same seeded
+  dataset; each contributes only its addressable shards).
+
+Validated by the 2-process CPU dryrun (parallel/multihost_dryrun.py,
+wired into __graft_entry__.dryrun_multichip) which runs the REAL
+dp-sharded stage-2 training step across two coordinated processes.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+_initialized = False
+
+
+def init_distributed(coordinator_address=None, num_processes=None,
+                     process_id=None, local_device_ids=None):
+    """Idempotent ``jax.distributed.initialize``.
+
+    Explicit args win; otherwise JAX falls back to its env vars /
+    cluster autodetection (JAX_COORDINATOR_ADDRESS, JAX_NUM_PROCESSES,
+    JAX_PROCESS_ID — or TPU pod metadata on real multi-host slices).
+    Must run before anything initializes a backend.
+    """
+    global _initialized
+    if _initialized:
+        return
+    import jax
+    kwargs = {k: v for k, v in dict(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+        local_device_ids=local_device_ids).items() if v is not None}
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError as e:               # already initialized
+        if "already" not in str(e).lower():
+            raise
+    _initialized = True
+
+
+def maybe_init_from_args(args):
+    """Trainer/tool hook: initialize the coordination service when the
+    config (or the JAX env vars) ask for more than one process."""
+    coord = getattr(args, "coordinator_address", "") or None
+    nproc = int(getattr(args, "num_processes", 0) or 0) or None
+    pid = getattr(args, "process_id", -1)
+    pid = None if pid is None or int(pid) < 0 else int(pid)
+    if coord or nproc or os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        init_distributed(coordinator_address=coord, num_processes=nproc,
+                         process_id=pid)
+
+
+def make_global_mesh(n_dp=0, n_fp=1):
+    """('dp', 'fp') mesh across all processes, DCN-aware.
+
+    fp must fit inside one process's devices (the per-step ring halo
+    must ride ICI); dp rows are laid out process-major so the gradient
+    psum is the only collective that crosses the DCN.  Single-process:
+    defers to mesh.make_mesh (same semantics).
+    """
+    import jax
+    from jax.sharding import Mesh
+
+    nproc = jax.process_count()
+    if nproc == 1:
+        from videoloop3d_tpu.parallel.mesh import make_mesh
+        return make_mesh(n_dp=n_dp, n_fp=n_fp)
+
+    devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+    n = len(devs)
+    local = n // nproc
+    assert local % n_fp == 0, \
+        f"fp={n_fp} must divide the {local} per-process devices " \
+        f"(the frame ring must stay inside one host's ICI)"
+    if n_dp == 0:
+        n_dp = n // n_fp
+    assert n_dp * n_fp == n, (n_dp, n_fp, n)
+    try:
+        # real TPU pods: respect the ICI topology within each slice
+        from jax.experimental import mesh_utils
+        dev = mesh_utils.create_hybrid_device_mesh(
+            (n_dp // nproc, n_fp), (nproc, 1))
+    except Exception:
+        # CPU / flat topologies: process-major rows give the same
+        # DCN-crossing structure
+        dev = np.asarray(devs).reshape(n_dp, n_fp)
+    return Mesh(dev, ("dp", "fp"))
+
+
+def commit_batch(mesh, spec_tree, tree):
+    """Host-built GLOBAL numpy batch -> jax.Arrays on `mesh`.
+
+    Every process must supply identical global arrays (the trainers
+    build batches from the same seeded dataset on every process); each
+    process contributes the shards it can address.  Single-process this
+    is a plain device_put-equivalent.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding
+
+    if jax.process_count() == 1:
+        return jax.tree.map(jnp.asarray, tree)
+
+    def place(spec, arr):
+        arr = np.asarray(arr)
+        sh = NamedSharding(mesh, spec)
+        return jax.make_array_from_callback(arr.shape, sh,
+                                            lambda idx: arr[idx])
+
+    return jax.tree.map(place, spec_tree, tree,
+                        is_leaf=lambda x: x is None)

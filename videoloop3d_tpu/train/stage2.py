@@ -288,19 +288,23 @@ def train(args, progress_cb=None):
     n_dev = len(jax.devices()) if args.mesh_devices == 0 \
         else min(args.mesh_devices, len(jax.devices()))
     mesh = None
+    multiproc = jax.process_count() > 1
     if n_dev > 1:
-        from videoloop3d_tpu.parallel.mesh import make_mesh
+        from videoloop3d_tpu.parallel.distributed import make_global_mesh
         min_fl = max(c["patcht_size"] for c in loss_cfgs) - 1
         n_fp = args.mesh_fp
         if n_fp <= 0:
+            local = n_dev // jax.process_count()
             n_fp = 1
-            for cand in range(n_dev, 0, -1):
-                if (n_dev % cand == 0 and model.frm_num % cand == 0
+            for cand in range(local, 0, -1):
+                if (local % cand == 0 and model.frm_num % cand == 0
                         and model.frm_num // cand >= max(min_fl, 1)):
                     n_fp = cand
                     break
-        mesh = make_mesh(n_dp=n_dev // n_fp, n_fp=n_fp)
-        print(f"[stage2] mesh: dp={n_dev // n_fp} x fp={n_fp}")
+        mesh = make_global_mesh(n_dp=n_dev // n_fp, n_fp=n_fp)
+        print(f"[stage2] mesh: dp={n_dev // n_fp} x fp={n_fp}"
+              + (f" over {jax.process_count()} processes" if multiproc
+                 else ""))
 
     def build_step(item_cfg, ph, pw):
         if mesh is None:
@@ -393,11 +397,18 @@ def train(args, progress_cb=None):
                     }
                 else:   # dp batch: leading device axis
                     batch = {
-                        "extrin": jnp.asarray(np.stack(exts), jnp.float32),
-                        "intrin": jnp.asarray(np.stack(intrs),
-                                              jnp.float32),
-                        "video": jnp.asarray(np.stack(vids)),
+                        "extrin": np.stack(exts).astype(np.float32),
+                        "intrin": np.stack(intrs).astype(np.float32),
+                        "video": np.stack(vids),
                     }
+                    # multi-host: every process built the same global
+                    # batch (same seeded dataset); commit local shards
+                    from jax.sharding import PartitionSpec as P
+                    from videoloop3d_tpu.parallel.distributed import \
+                        commit_batch
+                    batch = commit_batch(
+                        mesh, {"extrin": P("dp"), "intrin": P("dp"),
+                               "video": P("dp")}, batch)
                 key, sub = jax.random.split(key)
                 prof.step(iter_total)
                 params, opt_state, metrics = step_fn(
