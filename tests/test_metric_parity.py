@@ -103,6 +103,133 @@ def test_lpips_converter_matches_torch(tmp_path):
     assert np.allclose(net(a.numpy(), a.numpy()), 0, atol=1e-6)
 
 
+_VGG = [  # (features idx, out_c, in_c)
+    (0, 64, 3), (2, 64, 64), (5, 128, 64), (7, 128, 128),
+    (10, 256, 128), (12, 256, 256), (14, 256, 256),
+    (17, 512, 256), (19, 512, 512), (21, 512, 512),
+    (24, 512, 512), (26, 512, 512), (28, 512, 512)]
+_VGG_POOL_BEFORE = {5, 10, 17, 24}
+_VGG_TAPS = {2, 7, 14, 21, 28}
+
+_SQUEEZE_FIRES = [  # (features idx, in_c, squeeze_c, expand_c)
+    (3, 64, 16, 64), (4, 128, 16, 64), (6, 128, 32, 128),
+    (7, 256, 32, 128), (9, 256, 48, 192), (10, 384, 48, 192),
+    (11, 384, 64, 256), (12, 512, 64, 256)]
+
+
+def _rand_vgg_sd(seed=4):
+    g = torch.Generator().manual_seed(seed)
+    sd = {}
+    for cid, oc, ic in _VGG:
+        std = (2.0 / (ic * 9)) ** 0.5
+        sd[f"features.{cid}.weight"] = torch.randn(
+            (oc, ic, 3, 3), generator=g) * std
+        sd[f"features.{cid}.bias"] = torch.randn((oc,), generator=g) * 0.01
+    return sd
+
+
+def _rand_squeeze_sd(seed=5):
+    g = torch.Generator().manual_seed(seed)
+    sd = {"features.0.weight": torch.randn((64, 3, 3, 3), generator=g)
+          * (2.0 / 27) ** 0.5,
+          "features.0.bias": torch.randn((64,), generator=g) * 0.01}
+    for fid, ic, sc, ec in _SQUEEZE_FIRES:
+        sd[f"features.{fid}.squeeze.weight"] = torch.randn(
+            (sc, ic, 1, 1), generator=g) * (2.0 / ic) ** 0.5
+        sd[f"features.{fid}.squeeze.bias"] = torch.randn(
+            (sc,), generator=g) * 0.01
+        sd[f"features.{fid}.expand1x1.weight"] = torch.randn(
+            (ec, sc, 1, 1), generator=g) * (2.0 / sc) ** 0.5
+        sd[f"features.{fid}.expand1x1.bias"] = torch.randn(
+            (ec,), generator=g) * 0.01
+        sd[f"features.{fid}.expand3x3.weight"] = torch.randn(
+            (ec, sc, 3, 3), generator=g) * (2.0 / (sc * 9)) ** 0.5
+        sd[f"features.{fid}.expand3x3.bias"] = torch.randn(
+            (ec,), generator=g) * 0.01
+    return sd
+
+
+def _torch_feats_vgg(sd, x):
+    h = x
+    out = []
+    for cid, *_ in _VGG:
+        if cid in _VGG_POOL_BEFORE:
+            h = F.max_pool2d(h, 2, 2)
+        h = F.relu(F.conv2d(h, sd[f"features.{cid}.weight"],
+                            sd[f"features.{cid}.bias"], padding=1))
+        if cid in _VGG_TAPS:
+            out.append(h)
+    return out
+
+
+def _torch_feats_squeeze(sd, x):
+    h = F.relu(F.conv2d(x, sd["features.0.weight"],
+                        sd["features.0.bias"], stride=2))
+    out = [h]
+    for i, (fid, *_rest) in enumerate(_SQUEEZE_FIRES):
+        if i in (0, 2, 4):
+            h = F.max_pool2d(h, 3, 2, ceil_mode=True)
+        sq = F.relu(F.conv2d(h, sd[f"features.{fid}.squeeze.weight"],
+                             sd[f"features.{fid}.squeeze.bias"]))
+        e1 = F.relu(F.conv2d(sq, sd[f"features.{fid}.expand1x1.weight"],
+                             sd[f"features.{fid}.expand1x1.bias"]))
+        e3 = F.relu(F.conv2d(sq, sd[f"features.{fid}.expand3x3.weight"],
+                             sd[f"features.{fid}.expand3x3.bias"],
+                             padding=1))
+        h = torch.cat([e1, e3], 1)
+        if i in (1, 3, 4, 5, 6, 7):
+            out.append(h)
+    return out
+
+
+def _torch_lpips_from_feats(feats_fn, sd, lin_sd, a, b, n_lin):
+    shift = torch.tensor([-.030, -.088, -.188]).view(1, 3, 1, 1)
+    scale = torch.tensor([.458, .448, .450]).view(1, 3, 1, 1)
+    fa = feats_fn(sd, (a - shift) / scale)
+    fb = feats_fn(sd, (b - shift) / scale)
+    total = 0.0
+    for i, (xa, xb) in enumerate(zip(fa, fb)):
+        na = xa / (torch.sqrt(torch.sum(xa ** 2, 1, keepdim=True)) + 1e-10)
+        nb = xb / (torch.sqrt(torch.sum(xb ** 2, 1, keepdim=True)) + 1e-10)
+        diff = (na - nb) ** 2
+        proj = (diff * lin_sd[f"lin{i}.model.1.weight"]).sum(1,
+                                                             keepdim=True)
+        total = total + proj.mean([2, 3], keepdim=True)
+    return total[:, 0, 0, 0]
+
+
+@pytest.mark.parametrize("net,chns", [
+    ("vgg", [64, 128, 256, 512, 512]),
+    ("squeeze", [64, 128, 256, 384, 384, 512, 512])])
+def test_lpips_vgg_squeeze_converters_match_torch(tmp_path, net, chns):
+    """The vgg16 / squeezenet1.1 backbones (ref
+    pretrained_networks.py:6-130) match an independent torch forward."""
+    from videoloop3d_tpu.eval.lpips import LPIPS, convert_torch_weights
+    sd = _rand_vgg_sd() if net == "vgg" else _rand_squeeze_sd()
+    g = torch.Generator().manual_seed(8)
+    lin_sd = {f"lin{i}.model.1.weight":
+              torch.rand((1, c, 1, 1), generator=g) * 0.5
+              for i, c in enumerate(chns)}
+    bpth = str(tmp_path / "backbone.pth")
+    lpth = str(tmp_path / "lin.pth")
+    torch.save(sd, bpth)
+    torch.save(lin_sd, lpth)
+    npz = str(tmp_path / f"lpips_{net}.npz")
+    convert_torch_weights(bpth, lpth, npz, net=net)
+    lp = LPIPS(weights_path=npz)
+    assert lp.available and lp.net == net
+
+    # 65x65: odd size exercises squeeze's ceil-mode pools
+    a = torch.rand((2, 3, 65, 65), generator=g) * 2 - 1
+    b = torch.rand((2, 3, 65, 65), generator=g) * 2 - 1
+    feats = _torch_feats_vgg if net == "vgg" else _torch_feats_squeeze
+    want = _torch_lpips_from_feats(feats, sd, lin_sd, a, b,
+                                   len(chns)).numpy()
+    got = lp(a.numpy(), b.numpy())
+    assert np.allclose(got, want, rtol=1e-4, atol=1e-5), (got, want)
+    assert np.allclose(lp(a.numpy(), a.numpy()), 0, atol=1e-6)
+
+
 _C3D_LAYERS = [  # (name, in_c, out_c, pool, pool_pad)
     ("conv1", 3, 64, (1, 2, 2), 0), ("conv2", 64, 128, (2, 2, 2), 0),
     ("conv3a", 128, 256, None, 0), ("conv3b", 256, 256, (2, 2, 2), 0),

@@ -239,6 +239,50 @@ def test_swd_loss_runs_and_discriminates():
     assert l_diff > l_same
 
 
+def test_swd_mask_duplication():
+    """Mask-weighted SWD (ref utils_vid.py:186-194): masked target
+    patches are duplicated into the matched distribution."""
+    from videoloop3d_tpu.losses.swd import swd_3d_loss, mask_patch_columns
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.random((3, 4, 12, 12)).astype(np.float32))
+    # y differs from x ONLY inside the masked window
+    y_np = np.asarray(x).copy()
+    mask = np.zeros((12, 12), np.float32)
+    mask[2:7, 2:7] = 1
+    y_np[:, :, 2:7, 2:7] = rng.random((3, 4, 5, 5)).astype(np.float32)
+    y = jnp.asarray(y_np)
+    key = jax.random.PRNGKey(1)
+    kw = dict(patch_size=3, patcht_size=3, stride=1, stridet=1,
+              num_proj=64)
+
+    # factor 1 == no-mask matmul-branch baseline
+    l1 = float(swd_3d_loss(x, y, key, mask=mask, mask_patches_factor=1,
+                           **kw))
+    l3 = float(swd_3d_loss(x, y, key, mask=mask, mask_patches_factor=3,
+                           **kw))
+    # duplicating the (mismatching) masked patches increases the loss
+    assert l3 > l1, (l1, l3)
+
+    # duplicating the WHOLE set leaves the sorted distribution intact
+    full = np.ones((12, 12), np.float32)
+    lf1 = float(swd_3d_loss(x, y, key, mask=full, mask_patches_factor=1,
+                            **kw))
+    lf3 = float(swd_3d_loss(x, y, key, mask=full, mask_patches_factor=3,
+                            **kw))
+    assert abs(lf1 - lf3) < 1e-5, (lf1, lf3)
+
+    # the column selector matches a brute-force patch scan
+    sel = mask_patch_columns(mask, 3, 3, 1, 1, n_frames=4)
+    T, H, W = 4, 12, 12
+    cf, ch, cw = (T - 3) + 1, (H - 3) + 1, (W - 3) + 1
+    k = 0
+    for f in range(cf):
+        for i in range(ch):
+            for j in range(cw):
+                assert sel[k] == mask[i:i + 3, j:j + 3].any(), (f, i, j)
+                k += 1
+
+
 def test_ssim_distance_nn():
     """ssim patch distance: identical patches are nearest; a
     contrast-matched but shifted-mean patch ranks worse than under mse."""
