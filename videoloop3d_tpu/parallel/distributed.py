@@ -126,3 +126,22 @@ def commit_batch(mesh, spec_tree, tree):
 
     return jax.tree.map(place, spec_tree, tree,
                         is_leaf=lambda x: x is None)
+
+
+def is_primary():
+    """True on the process that should write files (checkpoints,
+    previews, logs).  Always true single-process."""
+    import jax
+    return jax.process_index() == 0
+
+
+def gather_for_host(tree):
+    """Materialize a (possibly cross-process-sharded) param tree on the
+    host for checkpointing.  COLLECTIVE in multi-process jobs: every
+    process must call it; each gets the full global arrays.  No-op
+    device_get single-process."""
+    import jax
+    if jax.process_count() == 1:
+        return jax.device_get(tree)
+    from jax.experimental import multihost_utils
+    return multihost_utils.process_allgather(tree, tiled=True)

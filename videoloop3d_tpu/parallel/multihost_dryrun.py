@@ -90,10 +90,18 @@ def main(argv=None):
     lr = rep({"lr": np.asarray(0.1, np.float32)})["lr"]
     rng = rep({"k": np.asarray(jax.random.PRNGKey(0))})["k"]
 
+    shapes = {k: v.shape for k, v in params.items()}
     params2, opt_state, metrics = step(params, opt_state, batch, lr,
                                        weights, rng)
     loss = float(metrics["loss"])
     assert np.isfinite(loss), loss
+    # checkpoint path: collective host gather, then primary-only write
+    host = dist.gather_for_host(params2)
+    for k, v in host.items():
+        v = np.asarray(v)
+        assert v.shape == shapes[k], (k, v.shape, shapes[k])
+        assert np.isfinite(v).all(), k
+    assert dist.is_primary() == (opts.process_id == 0)
     # the dp pmean must agree across processes: print on both, the
     # launcher compares
     print(f"MULTIHOST_OK process={opts.process_id} "

@@ -388,14 +388,15 @@ def train(args, progress_cb=None):
                     intrs.append(intrin)
                     vids.append(item["video"])
                 step_fn, _, bs = step_cache[cfg_key]
-                if bs == 1:
+                if mesh is None:
                     batch = {
                         "extrin": jnp.asarray(np.stack(exts), jnp.float32),
                         "intrin": jnp.asarray(np.stack(intrs),
                                               jnp.float32),
                         "video": jnp.asarray(vids[0]),
                     }
-                else:   # dp batch: leading device axis
+                else:   # sharded batch: leading 'dp' device axis (the
+                        # fp-only mesh keeps it with dp=1)
                     batch = {
                         "extrin": np.stack(exts).astype(np.float32),
                         "intrin": np.stack(intrs).astype(np.float32),
@@ -432,13 +433,22 @@ def train(args, progress_cb=None):
             if (epoch_total + 1) % args.i_weights == 0 \
                     or (pyr_i == len(schedule) - 1
                         and epoch == num_epoch - 1):
-                save_stage2_checkpoint(
-                    os.path.join(rundir,
-                                 f"ckpt_l{pyr_i}_epoch_{epoch:04d}.npz"),
-                    model, params, pyr_i, epoch, epoch_total, iter_total,
-                    factor, hw)
+                # multi-host: gather is COLLECTIVE (all processes join);
+                # only the primary writes the file
+                from videoloop3d_tpu.parallel import distributed as dist
+                params_host = dist.gather_for_host(params)
+                if dist.is_primary():
+                    save_stage2_checkpoint(
+                        os.path.join(
+                            rundir,
+                            f"ckpt_l{pyr_i}_epoch_{epoch:04d}.npz"),
+                        model, params_host, pyr_i, epoch, epoch_total,
+                        iter_total, factor, hw)
 
-            if (epoch_total + 1) % args.i_video == 0:
+            # previews are a file artifact; in multi-host jobs the eval
+            # render is not sharded, so they are single-process-only
+            if (epoch_total + 1) % args.i_video == 0 \
+                    and jax.process_count() == 1:
                 r_ext = cameras.pose_to_extrinsic(scene["render_poses"])
                 frames = []
                 for ri in range(min(len(r_ext), 2 * model.frm_num)):
