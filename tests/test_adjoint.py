@@ -309,3 +309,67 @@ def test_fast_stage2_grad_render_equivalence():
         a, b = np.asarray(ga[key]), np.asarray(gb[key])
         rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-12)
         assert rel < 2e-5, (key, rel)
+
+
+def test_fast_stage1_sparse_grad_render_equivalence():
+    """MPMesh SPARSE-phase render gradients with --fast_stage1_grad on ==
+    off (the post-cull per-tile adjoint path)."""
+    from videoloop3d_tpu.config import parse_args_with_configs
+    from videoloop3d_tpu.models.mpmesh import MPMesh
+
+    rng = np.random.default_rng(6)
+    h, w = 24, 32
+    intrin = np.array([[30.0, 0, w / 2], [0, 30.0, h / 2], [0, 0, 1]],
+                      np.float32)
+
+    def build(fast):
+        argv = ["--datadir", "x", "--expname", "x",
+                "--mpi_h_scale", "1.2", "--mpi_w_scale", "1.2",
+                "--mpi_h_verts", "4", "--mpi_w_verts", "5",
+                "--mpi_d", "3"]
+        if fast:
+            argv.append("--fast_stage1_grad")
+        args = parse_args_with_configs(argv)
+        model = MPMesh(args, h, w, np.eye(4, dtype=np.float32),
+                       intrin, 1.5, 6.0)
+        g = model.geom
+        tm_s = np.full((g.n_planes, g.n_tiles_h, g.n_tiles_w), -1,
+                       np.int32)
+        tm_d = np.full_like(tm_s, -1)
+        r = np.random.default_rng(8).random(tm_s.shape)
+        tm_s[r < 0.5] = np.arange((r < 0.5).sum(), dtype=np.int32)
+        tm_d[r >= 0.7] = np.arange((r >= 0.7).sum(), dtype=np.int32)
+        model.is_sparse = True
+        model.has_dyn = True
+        model.tile_map_static = tm_s
+        model.tile_map_dyn = tm_d
+        model.tile_hw = g.default_tile_texels()
+        return model, int((r < 0.5).sum()), int((r >= 0.7).sum())
+
+    model_a, ns, nd = build(False)
+    model_b, _, _ = build(True)
+    th, tw = model_a.tile_hw
+    params = {
+        "atlas": jnp.asarray(
+            rng.standard_normal((ns, th, tw, 4)).astype(np.float32)),
+        "atlas_dyn": jnp.asarray(
+            rng.standard_normal((nd, th, tw, 4)).astype(np.float32)),
+    }
+    ext = np.eye(4, dtype=np.float32)
+    ext[:3, 3] = [0.1, -0.05, 0.02]
+    ext = jnp.asarray(ext)[None]
+    intr = jnp.asarray(intrin)[None]
+
+    def loss(model, p):
+        rgbl, _ = model.render(p, h, w, ext, intr, training=True)
+        return jnp.sum(rgbl ** 2)
+
+    la = float(loss(model_a, params))
+    lb = float(loss(model_b, params))
+    assert np.isclose(la, lb, rtol=1e-6)
+    ga = jax.grad(lambda p: loss(model_a, p))(params)
+    gb = jax.grad(lambda p: loss(model_b, p))(params)
+    for key in ("atlas", "atlas_dyn"):
+        a, b = np.asarray(ga[key]), np.asarray(gb[key])
+        rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-12)
+        assert rel < 2e-5, (key, rel)

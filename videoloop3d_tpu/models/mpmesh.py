@@ -209,6 +209,7 @@ class MPMesh:
         # flipped by the trainer at epoch >= optimize_geo_start (a
         # trace-time switch: the step is rebuilt; ref MPI.py:152-156)
         self.optimize_geometry = False
+        self._adj_cache = {}
 
     @classmethod
     def from_geometry(cls, geom: MPIGeometry, cfg: MPMeshConfig, H, W):
@@ -222,6 +223,7 @@ class MPMesh:
         obj.tile_map_dyn = None
         obj.tile_hw = None
         obj.optimize_geometry = False
+        obj._adj_cache = {}
         return obj
 
     # ------------------------------------------------------------------
@@ -250,6 +252,24 @@ class MPMesh:
         if decoder is not None:
             params["decoder"] = decoder
         return params
+
+    # ------------------------------------------------------------------
+    def _adj_samplers(self):
+        """Per-tile adjoint samplers for the sparse (post-cull) phase
+        (same machinery as MPMeshVid: render/adjoint.py:make_tile_adjoint
+        replaces the packed-tile scatter-add backward with per-tile
+        window slices + MXU weight contractions; exact)."""
+        from videoloop3d_tpu.render import adjoint as ADJ
+        key = self.geom
+        if key not in self._adj_cache:
+            win = ADJ.tile_window_for(self.geom, (self.H, self.W))
+            span = self.geom.tile_span
+            self._adj_cache[key] = (
+                ADJ.make_tile_adjoint(
+                    ADJ.tile_positions(self.tile_map_static), span, win),
+                ADJ.make_tile_adjoint(
+                    ADJ.tile_positions(self.tile_map_dyn), span, win))
+        return self._adj_cache[key]
 
     # ------------------------------------------------------------------
     def _decode(self, feats, coords, intrins, extrins, decoder=None):
@@ -337,12 +357,34 @@ class MPMesh:
             rgb_p, alpha_p = self._decode(feats, coords, intrins, extrins,
                                           decoder)
         else:
-            k_s, fu, fv = R.tile_lookup(
-                self.geom, jnp.asarray(self.tile_map_static), sample_coords)
-            k_d, _, _ = R.tile_lookup(
-                self.geom, jnp.asarray(self.tile_map_dyn), sample_coords)
-            vals_s, hit_s = R.sample_sparse(params["atlas"], k_s, fu, fv)
-            vals_d, hit_d = R.sample_sparse(params["atlas_dyn"], k_d, fu, fv)
+            k_s, k_d, fu, fv = R.tile_lookup2(
+                self.geom, self.tile_map_static, self.tile_map_dyn,
+                sample_coords)
+            B = sample_coords.x.shape[0]
+            if cfg.fast_stage1_grad and training and B == 1:
+                # post-cull fast path: per-tile adjoint backward (zero
+                # scatters), like stage 2 — without it the 21 sparse
+                # epochs of the reference schedule pay the scatter-add
+                from videoloop3d_tpu.render import adjoint as ADJ
+                samp_s, samp_d = self._adj_samplers()
+                M = ADJ.forward_projection(
+                    self.geom.depths_np(), self.geom.ref_intrin_mpi_np(),
+                    extrins, intrins)[0]
+                ths, tws = params["atlas"].shape[1:3]
+                thd, twd = params["atlas_dyn"].shape[1:3]
+                vals_s0, hit_s0 = samp_s(
+                    params["atlas"], k_s[0], fu[0] * (tws - 1),
+                    fv[0] * (ths - 1), M)
+                vals_d0, hit_d0 = samp_d(
+                    params["atlas_dyn"], k_d[0], fu[0] * (twd - 1),
+                    fv[0] * (thd - 1), M)
+                vals_s, hit_s = vals_s0[None], hit_s0[None]
+                vals_d, hit_d = vals_d0[None], hit_d0[None]
+            else:
+                vals_s, hit_s = R.sample_sparse(params["atlas"], k_s,
+                                                fu, fv)
+                vals_d, hit_d = R.sample_sparse(params["atlas_dyn"], k_d,
+                                                fu, fv)
             feats = jnp.where(hit_s[..., None], vals_s, vals_d)
             rgb_p, alpha_p = self._decode(feats, coords, intrins, extrins,
                                           decoder)
