@@ -329,6 +329,13 @@ def train(args, progress_cb=None):
             params, opt_state, metrics = step_fn(
                 params, opt_state, batch, jnp.asarray(lr, jnp.float32),
                 weights_dev, sub)
+            # bounded-frequency device sync: long async chains on the
+            # tunneled axon runtime pin every in-flight batch's host
+            # staging buffer (stage 2 leaked to an OOM kill this way).
+            # Stage-1 batches are ~1 MB, so 1-in-8 bounds the pin at a
+            # few MB for ~3 ms/step of sync cost.
+            if total_step % 8 == 0:
+                _ = float(metrics["loss"])
             prof.tick()
             if total_step % args.i_img == 0:
                 for k, v in metrics.items():

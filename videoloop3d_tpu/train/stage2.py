@@ -415,6 +415,13 @@ def train(args, progress_cb=None):
                 params, opt_state, metrics = step_fn(
                     params, opt_state, batch, jnp.asarray(lr, jnp.float32),
                     weights, sub)
+                # per-step device sync: on the tunneled axon runtime,
+                # long async chains both stall the scheduler AND pin the
+                # host staging buffer of every in-flight batch (~40 MB
+                # each at production scale — an unsynced full run leaks
+                # to an OOM kill).  ~25 ms against a 550 ms step.
+                _ = float(metrics["loss"])
+                del batch
                 prof.tick()
                 if (iter_total + 1) % args.i_img == 0:
                     for k, v in metrics.items():
