@@ -119,6 +119,8 @@ def commit_batch(mesh, spec_tree, tree):
         return jax.tree.map(jnp.asarray, tree)
 
     def place(spec, arr):
+        if isinstance(arr, jax.Array):   # already device-resident
+            return arr
         arr = np.asarray(arr)
         sh = NamedSharding(mesh, spec)
         return jax.make_array_from_callback(arr.shape, sh,

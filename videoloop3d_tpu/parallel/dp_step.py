@@ -16,7 +16,14 @@ from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
 from videoloop3d_tpu.train import optimizer as opt_lib
-from videoloop3d_tpu.train.stage2 import make_patch_loss_fn
+from videoloop3d_tpu.train.stage2 import make_patch_loss_fn, device_crop
+
+# sharding of every supported batch key: camera params + patch origins
+# ride 'dp'; the per-level device-resident uint8 video stack (see
+# stage2.device_crop) is replicated
+BATCH_KEY_SPECS = {"extrin": P("dp"), "intrin": P("dp"),
+                   "video": P("dp"), "videos": P(),
+                   "view": P("dp"), "h0": P("dp"), "w0": P("dp")}
 
 
 def make_dp_stage2_step(model, args, ph, pw, losscfg, mesh):
@@ -27,15 +34,18 @@ def make_dp_stage2_step(model, args, ph, pw, losscfg, mesh):
     group_fn = opt_lib.make_group_fn(args.optimize_verts_gain)
     loss_fn = make_patch_loss_fn(model, args, ph, pw, losscfg)
 
-    batch_spec = {"extrin": P("dp"), "intrin": P("dp"), "video": P("dp")}
-
     def sharded_step(params, opt_state, batch, lr, weights, rng):
         # per-device slices keep a leading axis of 1: extrin/intrin stay
         # (1,3/4,..) = the single-view shape render expects; the video
         # drops it ((F, ph, pw, 3) per patch).
+        if "video" in batch:
+            vid = batch["video"][0]
+        else:
+            vid = device_crop(batch["videos"], batch["view"][0],
+                              batch["h0"][0], batch["w0"][0], ph, pw)
         local = {"extrin": batch["extrin"],
                  "intrin": batch["intrin"],
-                 "video": batch["video"][0]}
+                 "video": vid}
         my_rng = jax.random.fold_in(rng, jax.lax.axis_index("dp"))
         grads, metrics = jax.grad(
             lambda p: loss_fn(p, local, weights, my_rng),
@@ -46,11 +56,13 @@ def make_dp_stage2_step(model, args, ph, pw, losscfg, mesh):
         new_params, new_opt = opt_update(params, grads, opt_state, lr_tree)
         return new_params, new_opt, metrics
 
-    mapped = shard_map(
-        sharded_step, mesh=mesh,
-        in_specs=(P(), P(), batch_spec, P(), P(), P()),
-        out_specs=(P(), P(), P()),
-        check_vma=False)
+    def mapped(params, opt_state, batch, lr, weights, rng):
+        bspec = {k: BATCH_KEY_SPECS[k] for k in batch}
+        return shard_map(
+            sharded_step, mesh=mesh,
+            in_specs=(P(), P(), bspec, P(), P(), P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False)(params, opt_state, batch, lr, weights, rng)
 
     # Memory note: the production-scale step is near the 16GB HBM edge;
     # overflow on the axon runtime manifests as silent host paging

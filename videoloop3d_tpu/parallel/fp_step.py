@@ -220,11 +220,15 @@ def make_fp_stage2_step(model, args, ph, pw, losscfg, mesh,
     opt_spec = {"m": param_spec, "v": param_spec, "step": P()} \
         if args.optimizer == "adam" else \
         {"momentum": param_spec, "step": P()}
-    batch_spec = {"extrin": P("dp"), "intrin": P("dp"), "video": P("dp")}
-
     def worker(params, opt_state, batch, lr, weights, rng):
+        if "video" in batch:
+            vid = batch["video"][0]
+        else:
+            from videoloop3d_tpu.train.stage2 import device_crop
+            vid = device_crop(batch["videos"], batch["view"][0],
+                              batch["h0"][0], batch["w0"][0], ph, pw)
         local = {"extrin": batch["extrin"], "intrin": batch["intrin"],
-                 "video": batch["video"][0]}
+                 "video": vid}
         rng = jax.random.fold_in(rng, jax.lax.axis_index("dp"))
 
         render_remat = jax.checkpoint(
@@ -271,11 +275,15 @@ def make_fp_stage2_step(model, args, ph, pw, losscfg, mesh,
         new_params, new_opt = opt_update(params, grads, opt_state, lr_tree)
         return new_params, new_opt, metrics
 
-    mapped = shard_map(
-        worker, mesh=mesh,
-        in_specs=(param_spec, opt_spec, batch_spec, P(), P(), P()),
-        out_specs=(param_spec, opt_spec, P()),
-        check_vma=False)
+    from videoloop3d_tpu.parallel.dp_step import BATCH_KEY_SPECS
+
+    def mapped(params, opt_state, batch, lr, weights, rng):
+        bspec = {k: BATCH_KEY_SPECS[k] for k in batch}
+        return shard_map(
+            worker, mesh=mesh,
+            in_specs=(param_spec, opt_spec, bspec, P(), P(), P()),
+            out_specs=(param_spec, opt_spec, P()),
+            check_vma=False)(params, opt_state, batch, lr, weights, rng)
 
     # Memory note: the production-scale step is near the 16GB HBM edge;
     # overflow on the axon runtime manifests as silent host paging

@@ -75,6 +75,40 @@ def pyramid_schedule(args, H, W):
     return list(zip(factors, hw, epochs))
 
 
+def device_crop(videos, view, h0, w0, ph, pw):
+    """Crop one training patch ON DEVICE from the level's resident
+    uint8 video stack.
+
+    Why: every host->device upload permanently pins its size in the
+    axon client's host memory (measured 34.6 MB/step at production
+    scale -> an OOM-killed soak).  Uploading the (V, F, H, W, 3) uint8
+    stack once per pyramid level and slicing per step cuts the per-step
+    upload to the ~KB camera parameters.
+
+    videos: (V, F, H, W, 3) uint8 (device); view/h0/w0: int32 scalars.
+    Returns (F, ph, pw, 3) float32 in [0, 1].
+    """
+    v = jax.lax.dynamic_index_in_dim(videos, view, axis=0,
+                                     keepdims=False)
+    F = v.shape[0]
+    crop = jax.lax.dynamic_slice(
+        v, (jnp.zeros((), jnp.int32), h0, w0, jnp.zeros((), jnp.int32)),
+        (F, ph, pw, 3))
+    return crop.astype(jnp.float32) / 255.0
+
+
+def resolve_video(batch, ph, pw, idx=0):
+    """Materialize batch["video"] from the device-resident stack unless
+    the caller provided it directly (tests/bench pass crops)."""
+    if "video" in batch:
+        return batch
+    out = {"extrin": batch["extrin"], "intrin": batch["intrin"],
+           "video": device_crop(batch["videos"], batch["view"][idx],
+                                batch["h0"][idx], batch["w0"][idx],
+                                ph, pw)}
+    return out
+
+
 def make_patch_loss_fn(model: MPMeshVid, args, ph, pw, losscfg):
     """(params, batch, weights, rng) -> (total_loss, metrics) for ONE
     patch.  Shared by the single-device step and the sharded steps in
@@ -143,6 +177,7 @@ def make_stage2_step(model: MPMeshVid, args, ph, pw, losscfg):
     # make_patch_loss_fn).
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, batch, lr, weights, rng):
+        batch = resolve_video(batch, ph, pw)
         grads, metrics = jax.grad(
             lambda p: loss_fn(p, batch, weights, rng), has_aux=True)(params)
         lr_tree = opt_lib.build_lr_tree(params, lr, group_fn)
@@ -363,6 +398,11 @@ def train(args, progress_cb=None):
             (args.patch_h_stride, args.patch_w_stride), poses, intrins,
             loss_cfgs)
         ph, pw = dataset.patch_size
+        # the level's padded uint8 videos live on device ONCE; per-step
+        # batches carry only (view, origin) and the step crops on device
+        # (each host->device upload pins host memory on axon, see
+        # device_crop)
+        videos_dev = jnp.asarray(np.stack(dataset.videos))
         # one jitted step per distinct loss config (<= 2)
         step_cache = {}
         for item_cfg in loss_cfgs:
@@ -379,37 +419,39 @@ def train(args, progress_cb=None):
                                          decay_steps_k=args.lrate_decay)
                 if args.lrate_adaptive:
                     lr = lr / len(dataset)
-                exts, intrs, vids = [], [], []
+                exts, intrs, views, h0s, w0s = [], [], [], [], []
                 for item in items:
                     intrin = item["intrin"]
                     if args.add_intrin_noise:
                         intrin = common.jitter_intrinsic(intrin, np_rng)
                     exts.append(cameras.pose_to_extrinsic(item["pose"]))
                     intrs.append(intrin)
-                    vids.append(item["video"])
+                    views.append(item["view"])
+                    w0, h0 = item["wh_start"]
+                    h0s.append(h0)
+                    w0s.append(w0)
                 step_fn, _, bs = step_cache[cfg_key]
+                batch = {
+                    "extrin": np.stack(exts).astype(np.float32),
+                    "intrin": np.stack(intrs).astype(np.float32),
+                    "videos": videos_dev,
+                    "view": np.asarray(views, np.int32),
+                    "h0": np.asarray(h0s, np.int32),
+                    "w0": np.asarray(w0s, np.int32),
+                }
                 if mesh is None:
-                    batch = {
-                        "extrin": jnp.asarray(np.stack(exts), jnp.float32),
-                        "intrin": jnp.asarray(np.stack(intrs),
-                                              jnp.float32),
-                        "video": jnp.asarray(vids[0]),
-                    }
-                else:   # sharded batch: leading 'dp' device axis (the
-                        # fp-only mesh keeps it with dp=1)
-                    batch = {
-                        "extrin": np.stack(exts).astype(np.float32),
-                        "intrin": np.stack(intrs).astype(np.float32),
-                        "video": np.stack(vids),
-                    }
+                    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                else:
                     # multi-host: every process built the same global
                     # batch (same seeded dataset); commit local shards
                     from jax.sharding import PartitionSpec as P
+                    from videoloop3d_tpu.parallel.dp_step import \
+                        BATCH_KEY_SPECS
                     from videoloop3d_tpu.parallel.distributed import \
                         commit_batch
                     batch = commit_batch(
-                        mesh, {"extrin": P("dp"), "intrin": P("dp"),
-                               "video": P("dp")}, batch)
+                        mesh, {k: BATCH_KEY_SPECS[k] for k in batch},
+                        batch)
                 key, sub = jax.random.split(key)
                 prof.step(iter_total)
                 params, opt_state, metrics = step_fn(
