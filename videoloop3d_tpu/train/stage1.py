@@ -26,6 +26,20 @@ from videoloop3d_tpu.models.sparsify import apply_tile_cull
 from videoloop3d_tpu.train import common, optimizer as opt_lib
 
 
+def _device_crop_image(images, masks, view, h0, w0, ph, pw):
+    """Crop one (rgb, loopmask) patch on device from the run-resident
+    image stacks (each host->device upload pins host memory on the axon
+    client — see stage2.device_crop)."""
+    img = jax.lax.dynamic_index_in_dim(images, view, axis=0,
+                                       keepdims=False)
+    msk = jax.lax.dynamic_index_in_dim(masks, view, axis=0,
+                                       keepdims=False)
+    z = jnp.zeros((), jnp.int32)
+    rgb = jax.lax.dynamic_slice(img, (h0, w0, z), (ph, pw, 3))
+    lm = jax.lax.dynamic_slice(msk, (h0, w0), (ph, pw))
+    return rgb, lm
+
+
 def make_train_step(model: MPMesh, args, h, w):
     """Build the jitted stage-1 step for patches of size (h, w)."""
     opt_init, opt_update = opt_lib.make_optimizer(args.optimizer, eps=1e-8)
@@ -42,6 +56,14 @@ def make_train_step(model: MPMesh, args, h, w):
     # make_patch_loss_fn).
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, batch, lr, weights, rng):
+        if "rgb" not in batch:
+            rgbs, lms = jax.vmap(
+                lambda v, y0, x0: _device_crop_image(
+                    batch["images"], batch["masks"], v, y0, x0, h, w))(
+                batch["view"], batch["h0"], batch["w0"])
+            batch = {"extrin": batch["extrin"], "intrin": batch["intrin"],
+                     "rgb": rgbs, "loopmask": lms}
+
         def loss_fn(p):
             rgbl, extra = model.forward(
                 p, h, w, batch["extrin"], batch["intrin"],
@@ -245,6 +267,10 @@ def train(args, progress_cb=None):
         write_image(os.path.join(p, f"{vi:04d}.png"), to8b(mask))
 
     ph, pw = dataset.patch_size
+    # run-resident image/mask stacks (uploaded once; steps crop on
+    # device — uploads pin host memory on the axon client)
+    images_dev = jnp.asarray(np.stack(dataset.images))
+    masks_dev = jnp.asarray(np.stack(dataset.masks))
     step_fn, opt_init, weight_keys = make_train_step(model, args, ph, pw)
     opt_state = opt_init(params)
 
@@ -309,20 +335,25 @@ def train(args, progress_cb=None):
             chunk, pending = pending, []
             lr = opt_lib.lr_schedule(total_step, args.lrate,
                                      decay_steps_k=args.lrate_decay)
-            exts, intrs, rgbs, masks = [], [], [], []
+            exts, intrs, views, h0s, w0s = [], [], [], [], []
             for it in chunk:
                 intrin = it["intrin"]
                 if args.add_intrin_noise:
                     intrin = common.jitter_intrinsic(intrin, np_rng)
                 exts.append(cameras.pose_to_extrinsic(it["pose"]))
                 intrs.append(intrin)
-                rgbs.append(it["rgb"])
-                masks.append(it["loopmask"])
+                views.append(it["view"])
+                w0, h0 = it["wh_start"]
+                h0s.append(h0)
+                w0s.append(w0)
             batch = {
                 "extrin": jnp.asarray(np.stack(exts), jnp.float32),
                 "intrin": jnp.asarray(np.stack(intrs), jnp.float32),
-                "rgb": jnp.asarray(np.stack(rgbs)),
-                "loopmask": jnp.asarray(np.stack(masks)),
+                "images": images_dev,
+                "masks": masks_dev,
+                "view": jnp.asarray(np.asarray(views, np.int32)),
+                "h0": jnp.asarray(np.asarray(h0s, np.int32)),
+                "w0": jnp.asarray(np.asarray(w0s, np.int32)),
             }
             key, sub = jax.random.split(key)
             prof.step(total_step)
