@@ -36,6 +36,10 @@ python -m videoloop3d_tpu.tools.render_video \
 log "=== evaluate (holdout view) ==="
 python -m videoloop3d_tpu.tools.evaluate \
   --config configs/mpv_base.txt --config1 configs/soak_synthetic_s2.txt \
-  || { log "EVAL FAILED rc=$?"; exit 1; }
+  || { log "TPU eval failed (rc=$?) - retrying on CPU (--gpu_num 0)";
+       python -m videoloop3d_tpu.tools.evaluate \
+         --config configs/mpv_base.txt \
+         --config1 configs/soak_synthetic_s2.txt --gpu_num 0 \
+         || { log "EVAL FAILED rc=$?"; exit 1; }; }
 
 log "DONE"
