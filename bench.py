@@ -219,19 +219,23 @@ def main():
         # measure stage 1 in its own process BEFORE this one touches the
         # (exclusive) TPU chip
         import subprocess
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__),
-             "--stage1-internal", "--iters", str(max(opts.iters, 10))],
-            capture_output=True, text=True, timeout=900)
-        for line in r.stdout.splitlines():
-            try:
-                stage1_ms = json.loads(line)["stage1_step_ms"]
-                break
-            except (ValueError, KeyError):
-                continue
-        if stage1_ms is None and opts.verbose:
-            print("stage-1 bench failed:", r.stdout[-500:],
-                  r.stderr[-500:], file=sys.stderr)
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--stage1-internal", "--iters", str(max(opts.iters, 10))],
+                capture_output=True, text=True, timeout=900)
+            for line in r.stdout.splitlines():
+                try:
+                    stage1_ms = json.loads(line)["stage1_step_ms"]
+                    break
+                except (ValueError, KeyError):
+                    continue
+            if stage1_ms is None and opts.verbose:
+                print("stage-1 bench failed:", r.stdout[-500:],
+                      r.stderr[-500:], file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print("stage-1 bench timed out; continuing with stage-2",
+                  file=sys.stderr)
 
     if opts.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
