@@ -174,6 +174,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh_devices", type=int, default=0,
                    help="devices in the jax mesh (0 = all available, "
                         "1 = force single-device)")
+    p.add_argument("--host_crops", action="store_true",
+                   help="build training batches with host-side patch "
+                        "crops instead of device-resident video stacks "
+                        "(escape hatch; uploads pin host memory on the "
+                        "axon runtime - see train/stage2.py:device_crop)")
     p.add_argument("--mesh_fp", type=int, default=0,
                    help="frame-parallel axis size (0 = auto: largest "
                         "divisor of the loop length that fits)")

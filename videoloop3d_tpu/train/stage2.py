@@ -431,14 +431,25 @@ def train(args, progress_cb=None):
                     h0s.append(h0)
                     w0s.append(w0)
                 step_fn, _, bs = step_cache[cfg_key]
-                batch = {
-                    "extrin": np.stack(exts).astype(np.float32),
-                    "intrin": np.stack(intrs).astype(np.float32),
-                    "videos": videos_dev,
-                    "view": np.asarray(views, np.int32),
-                    "h0": np.asarray(h0s, np.int32),
-                    "w0": np.asarray(w0s, np.int32),
-                }
+                if getattr(args, "host_crops", False):
+                    vids = [dataset.videos[v][
+                        :, y0:y0 + ph, x0:x0 + pw].astype(np.float32)
+                        / 255.0 for v, y0, x0 in zip(views, h0s, w0s)]
+                    batch = {
+                        "extrin": np.stack(exts).astype(np.float32),
+                        "intrin": np.stack(intrs).astype(np.float32),
+                        "video": np.stack(vids) if mesh is not None
+                        else vids[0],
+                    }
+                else:
+                    batch = {
+                        "extrin": np.stack(exts).astype(np.float32),
+                        "intrin": np.stack(intrs).astype(np.float32),
+                        "videos": videos_dev,
+                        "view": np.asarray(views, np.int32),
+                        "h0": np.asarray(h0s, np.int32),
+                        "w0": np.asarray(w0s, np.int32),
+                    }
                 if mesh is None:
                     batch = {k: jnp.asarray(v) for k, v in batch.items()}
                 else:
