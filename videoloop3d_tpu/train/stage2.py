@@ -85,8 +85,16 @@ def device_crop(videos, view, h0, w0, ph, pw):
     stack once per pyramid level and slicing per step cuts the per-step
     upload to the ~KB camera parameters.
 
-    videos: (V, F, H, W, 3) uint8 (device); view/h0/w0: int32 scalars.
-    Returns (F, ph, pw, 3) float32 in [0, 1].
+    videos: (V, F, H, W, 3) uint8 or pre-scaled float32 (device);
+    view/h0/w0: int32 scalars.  Returns (F, ph, pw, 3) float32 in
+    [0, 1].
+
+    Dtype note: the uint8 dynamic-slice faults the TPU worker ("kernel
+    fault") at some coarse-pyramid shapes (repro: (9,50,151,270,3) u8
+    crashes, same shapes in f32 or host-cropped pass; (..,540,960,..)
+    u8 ran two full levels clean).  The trainer therefore uploads
+    coarse levels as f32 and keeps u8 only for the large levels where
+    it is both proven and needed for HBM.
     """
     v = jax.lax.dynamic_index_in_dim(videos, view, axis=0,
                                      keepdims=False)
@@ -94,7 +102,9 @@ def device_crop(videos, view, h0, w0, ph, pw):
     crop = jax.lax.dynamic_slice(
         v, (jnp.zeros((), jnp.int32), h0, w0, jnp.zeros((), jnp.int32)),
         (F, ph, pw, 3))
-    return crop.astype(jnp.float32) / 255.0
+    if crop.dtype == jnp.uint8:
+        return crop.astype(jnp.float32) / 255.0
+    return crop.astype(jnp.float32)
 
 
 def resolve_video(batch, ph, pw, idx=0):
@@ -398,11 +408,16 @@ def train(args, progress_cb=None):
             (args.patch_h_stride, args.patch_w_stride), poses, intrins,
             loss_cfgs)
         ph, pw = dataset.patch_size
-        # the level's padded uint8 videos live on device ONCE; per-step
+        # the level's padded videos live on device ONCE; per-step
         # batches carry only (view, origin) and the step crops on device
         # (each host->device upload pins host memory on axon, see
-        # device_crop)
-        videos_dev = jnp.asarray(np.stack(dataset.videos))
+        # device_crop).  Coarse levels upload as f32 (the u8 slice
+        # kernel faults at some coarse shapes - device_crop docstring);
+        # large levels stay u8 for HBM.
+        _stack = np.stack(dataset.videos)
+        if _stack.size * 4 <= 1.1e9:
+            _stack = _stack.astype(np.float32) / 255.0
+        videos_dev = jnp.asarray(_stack)
         # one jitted step per distinct loss config (<= 2)
         step_cache = {}
         for item_cfg in loss_cfgs:
