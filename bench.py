@@ -187,8 +187,11 @@ def build_bench_setup(quick=False, fast_grad=False, no_remat=False):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
-    ap.add_argument("--bf16", action="store_true",
-                    help="bench the bf16 gather path")
+    ap.add_argument("--bf16", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="bench the bf16 gather path, ON like the "
+                         "shipped configs (since round 2; --no-bf16 "
+                         "for the f32 path)")
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--verbose", action="store_true")
@@ -293,8 +296,8 @@ def main():
               f"{[round(t, 2) for t in times]}", file=sys.stderr)
 
     metric = "stage2_step_time_quick" if opts.quick else "stage2_step_time"
-    if opts.bf16:
-        metric += "_bf16"
+    if not opts.bf16:
+        metric += "_f32"
     vs = BASELINE_STEP_MS / step_ms if not opts.quick else float("nan")
     out = {"metric": metric, "value": round(step_ms, 2), "unit": "ms",
            "vs_baseline": round(vs, 3) if vs == vs else None}
