@@ -39,6 +39,66 @@ import numpy as np
 BASELINE_STEP_MS = 1800.0
 BASELINE_STAGE1_STEP_MS = 60.0
 
+# v5e single-chip peaks (public spec: 197 TFLOP/s bf16, 394 TOP/s int8,
+# 819 GB/s HBM).  f32 matmuls run on the MXU at ~1/4 the bf16 rate.
+V5E_PEAK_BF16_FLOPS = 197e12
+V5E_PEAK_HBM_BPS = 819e9
+# measured gather-engine ceiling on this workload class (see CLAUDE.md
+# perf ledger: the packed bilinear gathers are DESCRIPTOR-rate bound at
+# ~30M descriptors/s, not byte-bound)
+MEASURED_DESC_PER_S = 30e6
+
+
+def xla_cost_analysis(compiled):
+    """flops / bytes accessed from the compiled executable, when the
+    backend exposes them (returns {} otherwise)."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        return dict(ca) if ca else {}
+    except Exception:
+        return {}
+
+
+def hw_utilization(compiled, step_ms, info, model, batch):
+    """Hardware-grounded accounting of one stage-2 step: FLOPs and HBM
+    bytes from XLA's own cost model (% of v5e peak), plus the analytic
+    gather-descriptor count (the measured bottleneck resource).
+
+    Descriptor count: the tile-major sampler issues one gather
+    descriptor per (pixel, plane) bilinear corner-pair row — quad-packed
+    rows for the dynamic atlas (F*C contiguous texels per tile row) and
+    pair-packed for the static atlas; backward re-issues the forward's
+    descriptors once more on the scatter-free adjoint path.
+    """
+    out = {}
+    ca = xla_cost_analysis(compiled)
+    t_s = step_ms / 1000.0
+    if "flops" in ca:
+        flops = float(ca["flops"])
+        out["step_gflops"] = round(flops / 1e9, 1)
+        out["mfu_pct"] = round(100 * flops / t_s / V5E_PEAK_BF16_FLOPS, 2)
+    if "bytes accessed" in ca:
+        bts = float(ca["bytes accessed"])
+        out["step_gbytes"] = round(bts / 1e9, 2)
+        out["hbm_gbps"] = round(bts / 1e9 / t_s, 1)
+        out["hbm_util_pct"] = round(100 * bts / t_s / V5E_PEAK_HBM_BPS, 2)
+
+    # analytic descriptor count for the packed sparse samplers:
+    # per (plane, pixel): 2 corner-row gathers static (pair-packed rows)
+    # + 2 dynamic (quad-packed F*C rows); adjoint backward replays them.
+    ph, pw = info["patch"]
+    D = info["planes"]
+    samples = D * ph * pw
+    desc_fwd = samples * (2 + 2)
+    desc = desc_fwd * 2                       # + adjoint backward replay
+    out["gather_desc_per_step"] = int(desc)
+    out["desc_per_s"] = round(desc / t_s / 1e6, 1)   # Mdesc/s
+    out["desc_rate_vs_ceiling_pct"] = round(
+        100 * (desc / t_s) / MEASURED_DESC_PER_S, 1)
+    return out
+
 
 def run_stage1_bench(iters):
     """Stage-1 production-scale step time (called with --stage1-internal
@@ -182,6 +242,49 @@ def build_bench_setup(quick=False, fast_grad=False, no_remat=False):
             "tile_hw": (th, tw), "patch": (ph, pw), "frames": F,
             "planes": D}
     return model, args, params, batch, losscfg, (ph, pw), info
+
+
+def measure_split(model, args, params, batch, losscfg, ph, pw, iters=5):
+    """fwd / fwd+bwd / optimizer decomposition of the stage-2 step
+    (the ledger's breakdown, machine-measured on the current code)."""
+    import jax
+    import jax.numpy as jnp
+    from videoloop3d_tpu.train.stage2 import (make_patch_loss_fn,
+                                              make_stage2_step)
+
+    weights = {k: jnp.asarray(0.2, jnp.float32)
+               for k in ("sparsity", "rgb_smooth", "a_smooth", "d_smooth",
+                         "density")}
+    rng = jax.random.PRNGKey(0)
+    loss_fn = make_patch_loss_fn(model, args, ph, pw, losscfg)
+
+    def timeit(fn, *a):
+        o = fn(*a)
+        _ = float(jax.tree.leaves(o)[0].ravel()[0])
+        ts = []
+        for _i in range(iters):
+            t0 = time.perf_counter()
+            o = fn(*a)
+            _ = float(jax.tree.leaves(o)[0].ravel()[0])
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts)) * 1000
+
+    render_fwd = jax.jit(lambda p: model.render(
+        p, ph, pw, batch["extrin"], batch["intrin"], None,
+        training=True)[0])
+    loss_fwd = jax.jit(lambda p: loss_fn(p, batch, weights, rng)[0])
+    loss_grad = jax.jit(lambda p: jax.grad(
+        lambda q: loss_fn(q, batch, weights, rng)[0])(p))
+    split = {
+        "render_fwd_ms": round(timeit(render_fwd, params), 1),
+        "loss_fwd_ms": round(timeit(loss_fwd, params), 1),
+        "fwd_bwd_ms": round(timeit(loss_grad, params), 1),
+    }
+    split["bwd_only_ms"] = round(split["fwd_bwd_ms"]
+                                 - split["loss_fwd_ms"], 1)
+    split["loss_nn_ms"] = round(split["loss_fwd_ms"]
+                                - split["render_fwd_ms"], 1)
+    return split
 
 
 def main():

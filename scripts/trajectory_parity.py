@@ -50,7 +50,7 @@ def ensure_stage1():
             "--rgb_smooth_loss_weight", "0.2",
             "--a_smooth_loss_weight", "0.5",
             "--density_loss_weight", "0.02", "--density_loss_epoch", "6",
-            "--seed", "2"]
+            "--seed", "2", "--mesh_devices", "1"]
     stage1.train(parse_args_with_configs(argv))
     assert os.path.exists(ckpt), os.listdir(os.path.dirname(ckpt))
     return scene_dir, ckpt

@@ -66,7 +66,9 @@ def test_video_patch_dataset_and_resize():
         (12, 16), vids, (8, 8), (6, 6), scene["poses"], scene["intrins"],
         cfgs)
     item = ds[len(ds) - 1]
-    assert item["video"].shape == (4, 8, 8, 3)
+    vid = ds.get_video(item)
+    assert vid.shape == (4, 8, 8, 3)
+    assert vid.dtype == np.float32 and vid.max() <= 1.0
     assert item["losscfg"]["loss_name"] in ("mse", "gpnn_lm")
 
 

@@ -94,6 +94,101 @@ def test_dp_step_matches_single_device():
         assert np.allclose(a, b, atol=1e-5), k
 
 
+def _tiny_mpi():
+    scene = synthetic.make_scene(n_views=3, h=24, w=32, n_frames=4,
+                                 seed=0)
+    argv = ["--mpi_h_scale", "1.2", "--mpi_w_scale", "1.2",
+            "--mpi_h_verts", "5", "--mpi_w_verts", "7",
+            "--mpi_d", "4", "--atlas_grid_h", "2",
+            "--scale_invariant", "--learn_loop_mask",
+            "--init_std", "0.02",
+            "--rgb_smooth_loss_weight", "0.2",
+            "--a_smooth_loss_weight", "0.2"]
+    args = parse_args_with_configs(argv)
+    from videoloop3d_tpu.models.mpmesh import MPMesh
+    poses, intrins, bds = scene["poses"], scene["intrins"], scene["bds"]
+    ref_pose = cameras.average_pose(poses)[:, :4]
+    ref_extrin = cameras.pose_to_extrinsic(ref_pose)
+    model = MPMesh(args, 24, 32, ref_extrin, intrins[0],
+                   float(bds[0]), float(bds[1]))
+    params = model.init_params(0)
+    return scene, args, model, params
+
+
+def _image_batch(scene, n):
+    ext = np.stack([np.linalg.inv(np.concatenate(
+        [scene["poses"][i % 3], np.array([[0, 0, 0, 1.0]], np.float32)]))
+        for i in range(n)])
+    intr = np.stack([scene["intrins"][i % 3] for i in range(n)])
+    rgbs = np.stack([scene["videos"][i % 3].mean(0) for i in range(n)])
+    rng = np.random.default_rng(0)
+    lms = (rng.random((n, 24, 32)) > 0.5).astype(np.float32)
+    return (ext.astype(np.float32), intr.astype(np.float32),
+            rgbs.astype(np.float32), lms)
+
+
+def test_stage1_dp_step_matches_single_device():
+    """8-way stage-1 DP on identical patches == the single-device step
+    (SGD, so pmean-of-identical grads reproduces the update exactly —
+    see test_dp_step_matches_single_device)."""
+    from videoloop3d_tpu.parallel.dp_step import make_dp_stage1_step
+    from videoloop3d_tpu.train.stage1 import make_train_step
+    assert len(jax.devices()) >= 8
+    scene, args, model, params = _tiny_mpi()
+    args.optimizer = "sgd"
+    mesh = make_mesh(n_dp=8, n_fp=1)
+    weights = {k: jnp.asarray(0.1, jnp.float32)
+               for k in ("sparsity", "rgb_smooth", "a_smooth", "d_smooth",
+                         "l_smooth", "density")}
+    rng = jax.random.PRNGKey(0)
+    ext, intr, rgbs, lms = _image_batch(scene, 8)
+    ext[:] = ext[:1]
+    intr[:] = intr[:1]
+    rgbs[:] = rgbs[:1]
+    lms[:] = lms[:1]
+
+    dp_step, dp_init, _ = make_dp_stage1_step(model, args, 24, 32, mesh)
+    p_dp, o_dp, m_dp = dp_step(
+        jax.tree.map(jnp.copy, params), dp_init(params),
+        {"extrin": jnp.asarray(ext), "intrin": jnp.asarray(intr),
+         "rgb": jnp.asarray(rgbs), "loopmask": jnp.asarray(lms)},
+        jnp.asarray(0.1), weights, rng)
+
+    single_step, s_init, _ = make_train_step(model, args, 24, 32)
+    p_s, o_s, m_s = single_step(
+        jax.tree.map(jnp.copy, params), s_init(params),
+        {"extrin": jnp.asarray(ext[:1]), "intrin": jnp.asarray(intr[:1]),
+         "rgb": jnp.asarray(rgbs[:1]), "loopmask": jnp.asarray(lms[:1])},
+        jnp.asarray(0.1), weights, rng)
+
+    assert np.isclose(float(m_dp["loss"]), float(m_s["loss"]), rtol=1e-4)
+    for k in params:
+        a, b = np.asarray(p_dp[k]), np.asarray(p_s[k])
+        assert np.allclose(a, b, atol=1e-5), k
+
+
+def test_stage1_trainer_dp_mesh(tmp_path):
+    """End-to-end stage-1 trainer on a dp=4 mesh (covers mesh setup,
+    global batching, commit_batch placement, culling re-spec)."""
+    from tests.test_stage1 import _debug_args
+    from videoloop3d_tpu.train import stage1
+    scene = synthetic.make_scene(n_views=3, h=24, w=32, n_frames=4,
+                                 seed=0)
+    scene_dir = str(tmp_path / "scene")
+    synthetic.write_llff_dir(scene, scene_dir, factor=1)
+    args = _debug_args(tmp_path, scene_dir, mesh_devices="4",
+                       N_iters="8", sparsify_epoch="6",
+                       sparsify_alpha_thresh="0.03", i_weights="8")
+    psnrs = []
+    model, params, _ = stage1.train(
+        args, progress_cb=lambda e, m: psnrs.append(
+            float(m["psnr"]) if m else np.nan))
+    vals = [p for p in psnrs if np.isfinite(p)]
+    assert len(vals) >= 2
+    assert vals[-1] > vals[0], psnrs
+    assert model.is_sparse                       # culling event ran on dp
+
+
 def test_dp_step_distinct_patches_trains():
     """Distinct patches per device: one step must run and reduce loss
     over a few iterations."""

@@ -25,6 +25,7 @@ def _debug_args(tmp_path, scene_dir, **over):
         "--a_smooth_loss_weight", "0.5",
         "--density_loss_weight", "0.02", "--density_loss_epoch", "2",
         "--seed", "1",
+        "--mesh_devices", "1",   # dp path covered by test_parallel.py
     ]
     for k, v in over.items():
         argv += [f"--{k}", str(v)]
@@ -131,6 +132,47 @@ def test_stage1_optimize_geo_event(tmp_path):
     assert _np.isfinite(dv).all()
     assert dv.max() > 0, "verts never updated"
     assert history[-1] < history[2], history
+
+
+def test_patch_batch_epoch_accounting(tmp_path, monkeypatch):
+    """With patch_batch > 1 the leftover partial batch carries across
+    epochs, so every patch is trained exactly once: total optimizer
+    steps == floor(N_iters * len(dataset) / bsz)."""
+    scene = synthetic.make_scene(n_views=3, h=24, w=32, n_frames=4, seed=0)
+    scene_dir = str(tmp_path / "scene")
+    synthetic.write_llff_dir(scene, scene_dir, factor=1)
+
+    calls = []
+    orig = stage1.make_train_step
+
+    def counting(model, args, h, w):
+        step, init, wk = orig(model, args, h, w)
+
+        def counted(*a, **k):
+            calls.append(1)
+            return step(*a, **k)
+
+        return counted, init, wk
+
+    monkeypatch.setattr(stage1, "make_train_step", counting)
+    args = _debug_args(tmp_path, scene_dir, sparsify_epoch="-1",
+                       patch_batch="2", N_iters="4")
+    stage1.train(args)
+
+    from videoloop3d_tpu.data import llff
+    from videoloop3d_tpu.data.patches import ImagePatchDataset
+    videos, _, sc = llff.load_mv_videos(
+        basedir=scene_dir, factor=args.factor,
+        bd_factor=(args.near_factor, args.far_factor), recenter=True)
+    ds = ImagePatchDataset(
+        sc["hw"], videos, (args.patch_h_size, args.patch_w_size),
+        (args.patch_h_stride, args.patch_w_stride), sc["poses"],
+        sc["intrins"], args.vid2img_mode)
+    # the carry is only observable when bsz does not divide len(ds)
+    assert len(ds) % 2 == 1, "fixture must exercise the carry"
+    # an epoch-local leftover drop would give len(ds)//2 steps per epoch
+    n_items = args.N_iters * len(ds)
+    assert len(calls) == n_items // 2, (len(calls), n_items)
 
 
 def test_stage1_patch_batching(tmp_path):

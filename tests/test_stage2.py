@@ -58,7 +58,7 @@ def _make_stage1_ckpt(tmp_path, scene_dir):
         "--sparsify_alpha_thresh", "0.01",
         "--i_weights", "3", "--i_video", "1000", "--i_img", "100",
         "--i_print", "1000", "--scale_invariant", "--learn_loop_mask",
-        "--seed", "1",
+        "--seed", "1", "--mesh_devices", "1",
     ]
     args = parse_args_with_configs(argv)
     model, params, rundir = stage1.train(args)

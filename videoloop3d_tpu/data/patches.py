@@ -130,14 +130,28 @@ class VideoPatchDataset(PatchSampler):
             self.videos.append(vid)   # keep uint8; crop converts
 
     def __getitem__(self, item):
+        # NOTE: no host crop here — the default trainer path crops on
+        # device from the level's resident stack and only reads
+        # view/wh_start, so slicing+float32-converting the full
+        # (F, ph, pw, 3) crop per item (~35 MB/step at production scale)
+        # would be pure waste.  --host_crops / tests call get_video().
         w0, h0, vi, pose, intrin = self.item_geometry(item)
-        ph, pw = self.patch_size
-        crop = self.videos[vi][:, h0:h0 + ph, w0:w0 + pw]
         return {
             "wh_start": (w0, h0),
             "view": vi,
             "pose": pose,
             "intrin": intrin,
-            "video": crop.astype(np.float32) / 255.0,   # (F, ph, pw, 3)
             "losscfg": self.loss_configs[vi],
         }
+
+    def get_video(self, item_or_view, wh_start=None):
+        """Host crop for one item: (F, ph, pw, 3) float32 in [0, 1]."""
+        if wh_start is None:
+            vi = item_or_view["view"]
+            w0, h0 = item_or_view["wh_start"]
+        else:
+            vi = item_or_view
+            w0, h0 = wh_start
+        ph, pw = self.patch_size
+        crop = self.videos[vi][:, h0:h0 + ph, w0:w0 + pw]
+        return crop.astype(np.float32) / 255.0

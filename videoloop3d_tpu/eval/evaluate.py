@@ -93,7 +93,10 @@ def evaluate(args, crop=40, compute_flags=None):
         loopmasks = [m[crop:-crop, crop:-crop] for m in loopmasks]
 
     static_psnr, static_ssim, dyns = [0.0] * V, [1.0] * V, [0.0] * V
-    lpips_v, lpips_sw = [0.0] * V, [0.0] * V
+    # Metrics that were skipped or whose pretrained weights are
+    # unavailable are reported as NaN, NOT 0.0 — a 0.0 LPIPS would be
+    # indistinguishable from a perfect score in the CSV.
+    lpips_v, lpips_sw = [float("nan")] * V, [float("nan")] * V
     loop_q = [[0.0] * len(PATCH_SIZES)] * V
     nn_fwd = [[0.0] * len(PATCH_SIZES)] * V
     nn_bwd = [[0.0] * len(PATCH_SIZES)] * V
@@ -112,7 +115,7 @@ def evaluate(args, crop=40, compute_flags=None):
     if flags["dyn"]:
         dyns = [M.dynamics_error(videos[vi], preds[vi]) for vi in range(V)]
 
-    svfids = [0.0] * V
+    svfids = [float("nan")] * V
     if flags.get("svfid"):
         from videoloop3d_tpu.eval.svfid import C3DFeatures, svfid
         c3d = C3DFeatures()
@@ -122,7 +125,7 @@ def evaluate(args, crop=40, compute_flags=None):
                       for vi in range(V)]
             print(f"[eval] svfid: {svfids}")
         else:
-            print("[eval] C3D weights unavailable - skipping SVFID")
+            print("[eval] C3D weights unavailable - SVFID = NaN")
 
     if flags["lpips"]:
         net = LPIPS()
@@ -134,7 +137,7 @@ def evaluate(args, crop=40, compute_flags=None):
                 net, preds[vi].astype(np.float32),
                 videos[vi].astype(np.float32)) for vi in range(V)]
         else:
-            print("[eval] LPIPS weights unavailable - reporting 0")
+            print("[eval] LPIPS weights unavailable - reporting NaN")
 
     def to_cfhw(v):
         return np.moveaxis(v.astype(np.float32), -1, 0)

@@ -81,7 +81,11 @@ def compute_img_metric(im1, im2, metric="mse", mask=None, range01=True):
 
 def dynamics_error(gt_video, pred_video):
     """Temporal std-map MSE (ref script_evaluate_ours.py:169-179).
-    Inputs (F, H, W, 3) in [0, 255]."""
+
+    Inputs (F, H, W, 3) in [0, 255] — matching the reference, the std
+    maps are on the 0-255 scale, so the squared error is O(1-1e3) for
+    natural clips (a per-pixel std mismatch of ~12/255 gives ~144).
+    """
     stdg = np.std(np.asarray(gt_video, np.float64), axis=0)
     stdp = np.std(np.asarray(pred_video, np.float64), axis=0)
     return float(np.mean((stdg - stdp) ** 2))

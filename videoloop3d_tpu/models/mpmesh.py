@@ -260,7 +260,10 @@ class MPMesh:
         replaces the packed-tile scatter-add backward with per-tile
         window slices + MXU weight contractions; exact)."""
         from videoloop3d_tpu.render import adjoint as ADJ
-        key = self.geom
+        # the samplers bake in tile_positions(tile_map_*) — key on the
+        # map identities too so a re-cull / checkpoint reload at the same
+        # geometry can't serve stale packed-tile positions
+        key = (self.geom, id(self.tile_map_static), id(self.tile_map_dyn))
         if key not in self._adj_cache:
             win = ADJ.tile_window_for(self.geom, (self.H, self.W))
             span = self.geom.tile_span
@@ -361,7 +364,11 @@ class MPMesh:
                 self.geom, self.tile_map_static, self.tile_map_dyn,
                 sample_coords)
             B = sample_coords.x.shape[0]
-            if cfg.fast_stage1_grad and training and B == 1:
+            if (cfg.fast_stage1_grad and training and B == 1
+                    and not (cfg.add_uv_noise and rng is not None)):
+                # (uv noise can push a sample into a neighboring tile
+                # whose adjoint pixel window may not cover it — mirror
+                # the dense gate and take the scatter path instead)
                 # post-cull fast path: per-tile adjoint backward (zero
                 # scatters), like stage 2 — without it the 21 sparse
                 # epochs of the reference schedule pay the scatter-add

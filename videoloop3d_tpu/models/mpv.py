@@ -188,7 +188,10 @@ class MPMeshVid:
         the packed-tile scatter-add with per-tile window slices + MXU
         weight contractions; exact (tests/test_adjoint.py)."""
         from videoloop3d_tpu.render import adjoint as ADJ
-        key = self.geom
+        # key on the tile-map identities too: the samplers bake in
+        # tile_positions(tile_map_*), so a reload/re-cull at the same
+        # geometry must not serve stale packed-tile positions
+        key = (self.geom, id(self.tile_map_static), id(self.tile_map_dyn))
         if key not in self._adj_cache:
             win = ADJ.tile_window_for(self.geom, (self.H, self.W))
             span = self.geom.tile_span

@@ -119,10 +119,19 @@ def commit_batch(mesh, spec_tree, tree):
         return jax.tree.map(jnp.asarray, tree)
 
     def place(spec, arr):
+        sh = NamedSharding(mesh, spec)
         if isinstance(arr, jax.Array):   # already device-resident
+            # guard against process-local arrays sneaking into a
+            # multi-process step (they fail later with an opaque
+            # incompatible-devices error)
+            if not arr.sharding.is_equivalent_to(sh, arr.ndim):
+                raise ValueError(
+                    f"commit_batch: pre-placed array has sharding "
+                    f"{arr.sharding}, expected {sh}; place it with "
+                    f"commit_batch/make_array_from_callback on the "
+                    f"global mesh first")
             return arr
         arr = np.asarray(arr)
-        sh = NamedSharding(mesh, spec)
         return jax.make_array_from_callback(arr.shape, sh,
                                             lambda idx: arr[idx])
 

@@ -1,9 +1,9 @@
-"""Data-parallel stage-2 training step (patch batch over the 'dp' axis).
+"""Data-parallel training steps (patch batch over the 'dp' axis).
 
-Each device owns one training patch; parameters are replicated; per-patch
-gradients are psum-averaged over ICI before a replicated Adam update —
-real DP, unlike the reference's inert single-GPU `nn.DataParallel`
-(train_3dvid.py:151).
+Each dp row owns a slice of the patch batch; parameters are replicated;
+per-patch gradients are psum-averaged over ICI before a replicated Adam
+update — real DP for BOTH stages, unlike the reference's inert
+single-GPU `nn.DataParallel` (train_3d.py:158, train_3dvid.py:151).
 """
 from __future__ import annotations
 
@@ -24,6 +24,57 @@ from videoloop3d_tpu.train.stage2 import make_patch_loss_fn, device_crop
 BATCH_KEY_SPECS = {"extrin": P("dp"), "intrin": P("dp"),
                    "video": P("dp"), "videos": P(),
                    "view": P("dp"), "h0": P("dp"), "w0": P("dp")}
+
+# stage-1 batches: run-resident image/mask stacks replicated, everything
+# else sharded over dp
+STAGE1_BATCH_KEY_SPECS = {"extrin": P("dp"), "intrin": P("dp"),
+                          "rgb": P("dp"), "loopmask": P("dp"),
+                          "images": P(), "masks": P(),
+                          "view": P("dp"), "h0": P("dp"), "w0": P("dp")}
+
+
+def make_dp_stage1_step(model, args, ph, pw, mesh):
+    """dp-sharded stage-1 step (SURVEY §2.3 "shard ... the patch batch";
+    ref wraps stage 1 in DataParallel at train_3d.py:158).
+
+    Batch arrays carry a leading axis of mesh.shape['dp'] *
+    max(patch_batch, 1): each dp row takes its patch_batch-sized slice
+    (the existing in-shard vmap semantics), grads/metrics are
+    pmean-averaged — exactly the single-device batch mean, so dp=N with
+    patch_batch=1 is numerically the single-device patch_batch=N step
+    (tests/test_parallel.py).  Returns (step, opt_init, weight_keys).
+    """
+    from videoloop3d_tpu.train.stage1 import (
+        STAGE1_WEIGHT_KEYS, make_stage1_loss_fn, resolve_image_batch)
+    opt_init, opt_update = opt_lib.make_optimizer(args.optimizer, eps=1e-8)
+    group_fn = opt_lib.make_group_fn(args.optimize_verts_gain)
+    loss_fn = make_stage1_loss_fn(model, args, ph, pw)
+
+    def sharded_step(params, opt_state, batch, lr, weights, rng):
+        local = resolve_image_batch(batch, ph, pw)
+        my_rng = jax.random.fold_in(rng, jax.lax.axis_index("dp"))
+        grads, metrics = jax.grad(
+            lambda p: loss_fn(p, local, weights, my_rng),
+            has_aux=True)(params)
+        grads = jax.lax.pmean(grads, "dp")
+        metrics = jax.lax.pmean(metrics, "dp")
+        lr_tree = opt_lib.build_lr_tree(params, lr, group_fn)
+        new_params, new_opt = opt_update(params, grads, opt_state, lr_tree)
+        return new_params, new_opt, metrics
+
+    def mapped(params, opt_state, batch, lr, weights, rng):
+        bspec = {k: STAGE1_BATCH_KEY_SPECS[k] for k in batch}
+        return shard_map(
+            sharded_step, mesh=mesh,
+            in_specs=(P(), P(), bspec, P(), P(), P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False)(params, opt_state, batch, lr, weights, rng)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, batch, lr, weights, rng):
+        return mapped(params, opt_state, batch, lr, weights, rng)
+
+    return step, opt_init, STAGE1_WEIGHT_KEYS
 
 
 def make_dp_stage2_step(model, args, ph, pw, losscfg, mesh):

@@ -16,11 +16,14 @@ Coverage condition: contributors lie within sqrt(2)/sigma_min(J) pixels
 of the texel's pixel-space preimage, where J is the pixel->texel warp
 Jacobian.  For the shipped configs the warp scale is ~0.9-1.6
 texels/pixel, so ``window=5`` is conservative.  The op treats geometry
-as non-differentiable (zero cotangents for the transforms) — consistent
-with the framework (vertex optimization is not wired, see PARITY.md).
+as non-differentiable (zero cotangents for the transforms) — when
+vertex optimization is active (``--optimize_geo``, render/geo_warp.py)
+the model takes the autodiff path instead (mpmesh.py gates
+``use_adjoint`` on ``not self.optimize_geometry``).
 
-Enabled by ``--fast_stage1_grad`` (off by default until soak-tested);
-exactness is verified against autodiff in tests/test_adjoint.py.
+Enabled by ``--fast_stage1_grad`` — ON in the shipped configs
+(configs/mpi_base.txt) since the round-2 full-schedule soak; exactness
+is verified against autodiff in tests/test_adjoint.py.
 """
 from __future__ import annotations
 

@@ -13,6 +13,10 @@ from videoloop3d_tpu.config import parse_args_with_configs
 def main(argv=None):
     args = parse_args_with_configs(argv)
     apply_backend_from_args(args)
+    # multi-host: join the coordination service before the backend
+    # initializes (no-op for single-process runs)
+    from videoloop3d_tpu.parallel.distributed import maybe_init_from_args
+    maybe_init_from_args(args)
     from videoloop3d_tpu.train import stage1
 
     np.random.seed(args.seed)

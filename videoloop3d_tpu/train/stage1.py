@@ -40,13 +40,68 @@ def _device_crop_image(images, masks, view, h0, w0, ph, pw):
     return rgb, lm
 
 
+STAGE1_WEIGHT_KEYS = ("sparsity", "rgb_smooth", "a_smooth", "d_smooth",
+                      "l_smooth", "density")
+
+
+def resolve_image_batch(batch, h, w):
+    """Materialize rgb/loopmask crops from the run-resident device
+    stacks unless the caller provided them directly (tests/bench)."""
+    if "rgb" in batch:
+        return batch
+    rgbs, lms = jax.vmap(
+        lambda v, y0, x0: _device_crop_image(
+            batch["images"], batch["masks"], v, y0, x0, h, w))(
+        batch["view"], batch["h0"], batch["w0"])
+    return {"extrin": batch["extrin"], "intrin": batch["intrin"],
+            "rgb": rgbs, "loopmask": lms}
+
+
+def make_stage1_loss_fn(model: MPMesh, args, h, w):
+    """(params, batch{extrin,intrin,rgb,loopmask}, weights, rng) ->
+    (total_loss, metrics) for a batch of B patches (loss is the batch
+    mean, so dp-sharding B devices x pmean is exactly equivalent).
+    Shared by the single-device step and parallel.dp_step."""
+    learn_loop = model.cfg.learn_loop_mask and not model.is_sparse
+
+    def loss_fn(p, batch, weights, rng):
+        rgbl, extra = model.forward(
+            p, h, w, batch["extrin"], batch["intrin"],
+            training=True, rng=rng)
+        if learn_loop:
+            loop = jnp.clip(rgbl[..., 3], 0.001, 0.999)
+            gt_loop = batch["loopmask"]
+            entropy = gt_loop * jnp.log(loop) \
+                + (1 - gt_loop) * jnp.log(1 - loop)
+            loop_loss = -jnp.mean(entropy)
+            rgb = rgbl[..., :3]
+        else:
+            loop_loss = 0.0
+            rgb = rgbl[..., :3]
+
+        if args.scale_invariant:
+            gain = common.scale_invariant_gain(
+                batch["rgb"], jax.lax.stop_gradient(rgb))
+            rgb = rgb * gain
+        img_loss = common.mse(rgb, batch["rgb"])
+
+        total = img_loss + loop_loss
+        metrics = {"mse": img_loss, "loop_bce": loop_loss}
+        for k, v in extra.items():
+            metrics[k] = v
+            total = total + weights[k] * v
+        metrics["loss"] = total
+        metrics["psnr"] = common.mse_to_psnr(img_loss)
+        return total, metrics
+
+    return loss_fn
+
+
 def make_train_step(model: MPMesh, args, h, w):
     """Build the jitted stage-1 step for patches of size (h, w)."""
     opt_init, opt_update = opt_lib.make_optimizer(args.optimizer, eps=1e-8)
     group_fn = opt_lib.make_group_fn(args.optimize_verts_gain)
-    learn_loop = model.cfg.learn_loop_mask and not model.is_sparse
-    weight_keys = ("sparsity", "rgb_smooth", "a_smooth", "d_smooth",
-                   "l_smooth", "density")
+    loss_fn = make_stage1_loss_fn(model, args, h, w)
 
     # Memory note: the production-scale step is near the 16GB HBM edge;
     # overflow on the axon runtime manifests as silent host paging
@@ -56,50 +111,15 @@ def make_train_step(model: MPMesh, args, h, w):
     # make_patch_loss_fn).
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, batch, lr, weights, rng):
-        if "rgb" not in batch:
-            rgbs, lms = jax.vmap(
-                lambda v, y0, x0: _device_crop_image(
-                    batch["images"], batch["masks"], v, y0, x0, h, w))(
-                batch["view"], batch["h0"], batch["w0"])
-            batch = {"extrin": batch["extrin"], "intrin": batch["intrin"],
-                     "rgb": rgbs, "loopmask": lms}
-
-        def loss_fn(p):
-            rgbl, extra = model.forward(
-                p, h, w, batch["extrin"], batch["intrin"],
-                training=True, rng=rng)
-            if learn_loop:
-                loop = jnp.clip(rgbl[..., 3], 0.001, 0.999)
-                gt_loop = batch["loopmask"]
-                entropy = gt_loop * jnp.log(loop) \
-                    + (1 - gt_loop) * jnp.log(1 - loop)
-                loop_loss = -jnp.mean(entropy)
-                rgb = rgbl[..., :3]
-            else:
-                loop_loss = 0.0
-                rgb = rgbl[..., :3]
-
-            if args.scale_invariant:
-                gain = common.scale_invariant_gain(
-                    batch["rgb"], jax.lax.stop_gradient(rgb))
-                rgb = rgb * gain
-            img_loss = common.mse(rgb, batch["rgb"])
-
-            total = img_loss + loop_loss
-            metrics = {"mse": img_loss, "loop_bce": loop_loss}
-            for k, v in extra.items():
-                metrics[k] = v
-                total = total + weights[k] * v
-            metrics["loss"] = total
-            metrics["psnr"] = common.mse_to_psnr(img_loss)
-            return total, metrics
-
-        grads, metrics = jax.grad(loss_fn, has_aux=True)(params)
+        batch = resolve_image_batch(batch, h, w)
+        grads, metrics = jax.grad(
+            lambda p: loss_fn(p, batch, weights, rng),
+            has_aux=True)(params)
         lr_tree = opt_lib.build_lr_tree(params, lr, group_fn)
         new_params, new_opt = opt_update(params, grads, opt_state, lr_tree)
         return new_params, new_opt, metrics
 
-    return step, opt_init, weight_keys
+    return step, opt_init, STAGE1_WEIGHT_KEYS
 
 
 _preview_fwd_cache = {}
@@ -257,21 +277,67 @@ def train(args, progress_cb=None):
         (args.patch_h_stride, args.patch_w_stride), poses, intrins,
         args.vid2img_mode)
 
+    from videoloop3d_tpu.parallel import distributed as dist
+
     # per-view image/loopmask visualisation dumps (ref train_3d.py:265-272)
-    for vi, (img, mask) in enumerate(zip(dataset.images, dataset.masks)):
-        p = os.path.join(rundir, f"imgvis_{args.vid2img_mode}")
-        os.makedirs(p, exist_ok=True)
-        write_image(os.path.join(p, f"{vi:04d}.png"), to8b(img))
-        p = os.path.join(rundir, "loopvis")
-        os.makedirs(p, exist_ok=True)
-        write_image(os.path.join(p, f"{vi:04d}.png"), to8b(mask))
+    if dist.is_primary():
+        for vi, (img, mask) in enumerate(zip(dataset.images,
+                                             dataset.masks)):
+            p = os.path.join(rundir, f"imgvis_{args.vid2img_mode}")
+            os.makedirs(p, exist_ok=True)
+            write_image(os.path.join(p, f"{vi:04d}.png"), to8b(img))
+            p = os.path.join(rundir, "loopvis")
+            os.makedirs(p, exist_ok=True)
+            write_image(os.path.join(p, f"{vi:04d}.png"), to8b(mask))
 
     ph, pw = dataset.patch_size
+
+    # device mesh: dp over the patch batch (SURVEY §2.3; stage 1 has no
+    # frame axis, so the mesh is dp-only).  Single-device when only one
+    # chip is visible.
+    n_dev = len(jax.devices()) if args.mesh_devices == 0 \
+        else min(args.mesh_devices, len(jax.devices()))
+    mesh = None
+    if n_dev > 1:
+        mesh = dist.make_global_mesh(n_dp=n_dev, n_fp=1)
+        print(f"[stage1] mesh: dp={n_dev}"
+              + (f" over {jax.process_count()} processes"
+                 if jax.process_count() > 1 else ""))
+
     # run-resident image/mask stacks (uploaded once; steps crop on
-    # device — uploads pin host memory on the axon client)
-    images_dev = jnp.asarray(np.stack(dataset.images))
-    masks_dev = jnp.asarray(np.stack(dataset.masks))
-    step_fn, opt_init, weight_keys = make_train_step(model, args, ph, pw)
+    # device — uploads pin host memory on the axon client).  Under a
+    # mesh they are placed as global replicated arrays (a process-local
+    # jnp.asarray would fail the first sharded step in multi-host runs).
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+        placed = dist.commit_batch(
+            mesh, {"images": P(), "masks": P()},
+            {"images": np.stack(dataset.images),
+             "masks": np.stack(dataset.masks)})
+        images_dev, masks_dev = placed["images"], placed["masks"]
+    else:
+        images_dev = jnp.asarray(np.stack(dataset.images))
+        masks_dev = jnp.asarray(np.stack(dataset.masks))
+
+    def build_step():
+        if mesh is None:
+            return make_train_step(model, args, ph, pw)
+        from videoloop3d_tpu.parallel.dp_step import make_dp_stage1_step
+        return make_dp_stage1_step(model, args, ph, pw, mesh)
+
+    def replicate_params(tree):
+        """Multi-host: (re-)place a host/process-local param tree as
+        global replicated arrays (events like tile culling rebuild
+        params host-side)."""
+        if mesh is None or jax.process_count() == 1:
+            return tree
+        from jax.sharding import PartitionSpec as P
+        host = jax.tree.map(np.asarray, tree)
+        return dist.commit_batch(mesh, jax.tree.map(lambda _: P(), host),
+                                 host)
+
+    params = replicate_params(params)
+    step_fn, opt_init, weight_keys = build_step()
     opt_state = opt_init(params)
 
     weights_base = common.extra_loss_weights(args, weight_keys)
@@ -281,6 +347,15 @@ def train(args, progress_cb=None):
     prof = common.Profiler(args, rundir)
     total_step = start_epoch * len(dataset)
     metrics = {}
+    bsz = max(int(getattr(args, "patch_batch", 1)), 1)
+    if mesh is not None:
+        # each dp row takes a patch_batch-sized slice of the global batch
+        bsz *= mesh.shape["dp"]
+    # leftover partial batch carries ACROSS epochs (so every patch of
+    # every epoch is trained on exactly once; with bsz == 1 this is the
+    # reference's 1-patch-per-step semantics).  Tested by
+    # tests/test_stage1.py::test_patch_batch_epoch_accounting.
+    pending = []
     for epoch in range(args.N_iters):
         if epoch < start_epoch:
             continue
@@ -292,8 +367,8 @@ def train(args, progress_cb=None):
                 rm_first_layers=args.sparsify_rmfirstlayer)
             print(f"[stage1] tile culling: keep {cull_info['keep_frac']:.1%}"
                   f" of tiles, {cull_info['dyn_frac']:.1%} dynamic")
-            step_fn, opt_init, weight_keys = make_train_step(
-                model, args, ph, pw)
+            params = replicate_params(params)
+            step_fn, opt_init, weight_keys = build_step()
             opt_state = opt_init(params)
 
         # direct -> SH conversion event (ref train_3d.py:287-290):
@@ -302,9 +377,8 @@ def train(args, progress_cb=None):
         if epoch == args.direct2sh_epoch \
                 and model.cfg.rgb_mlp_type == "direct":
             print("[stage1] converting direct atlas to rgb_sh")
-            params = convert_direct_to_sh(model, params)
-            step_fn, opt_init, weight_keys = make_train_step(
-                model, args, ph, pw)
+            params = replicate_params(convert_direct_to_sh(model, params))
+            step_fn, opt_init, weight_keys = build_step()
             opt_state = opt_init(params)
 
         # vertex-geometry optimization event (ref MPI.py:152-156 gates on
@@ -316,8 +390,7 @@ def train(args, progress_cb=None):
                 and epoch >= args.optimize_geo_start):
             print("[stage1] enabling vertex-geometry optimization")
             model.optimize_geometry = True
-            step_fn, opt_init, weight_keys = make_train_step(
-                model, args, ph, pw)
+            step_fn, opt_init, weight_keys = build_step()
 
         # density-weight quadratic ramp (ref train_3d.py:292-293)
         pct = np.clip(epoch / (args.density_loss_epoch + 1), 0, 1)
@@ -326,8 +399,6 @@ def train(args, progress_cb=None):
         weights_dev = {k: jnp.asarray(v, jnp.float32)
                        for k, v in weights.items()}
 
-        bsz = max(int(getattr(args, "patch_batch", 1)), 1)
-        pending = []
         for item in dataset.iter_epoch(np_rng, shuffle=True):
             pending.append(item)
             if len(pending) < bsz:
@@ -347,14 +418,24 @@ def train(args, progress_cb=None):
                 h0s.append(h0)
                 w0s.append(w0)
             batch = {
-                "extrin": jnp.asarray(np.stack(exts), jnp.float32),
-                "intrin": jnp.asarray(np.stack(intrs), jnp.float32),
+                "extrin": np.stack(exts).astype(np.float32),
+                "intrin": np.stack(intrs).astype(np.float32),
                 "images": images_dev,
                 "masks": masks_dev,
-                "view": jnp.asarray(np.asarray(views, np.int32)),
-                "h0": jnp.asarray(np.asarray(h0s, np.int32)),
-                "w0": jnp.asarray(np.asarray(w0s, np.int32)),
+                "view": np.asarray(views, np.int32),
+                "h0": np.asarray(h0s, np.int32),
+                "w0": np.asarray(w0s, np.int32),
             }
+            if mesh is None:
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            else:
+                # multi-host: every process built the same global batch
+                # (same seeded dataset); commit local shards
+                from videoloop3d_tpu.parallel.dp_step import \
+                    STAGE1_BATCH_KEY_SPECS
+                batch = dist.commit_batch(
+                    mesh, {k: STAGE1_BATCH_KEY_SPECS[k] for k in batch},
+                    batch)
             key, sub = jax.random.split(key)
             prof.step(total_step)
             params, opt_state, metrics = step_fn(
@@ -373,8 +454,6 @@ def train(args, progress_cb=None):
                     logger.scalar(f"stage1/{k}", float(v), total_step)
                 logger.scalar("stage1/lr", lr, total_step)
             total_step += 1
-        # leftover partial batch is carried into the next epoch's
-        # shuffle (matches reference 1-patch semantics when bsz == 1)
 
         if metrics and (epoch % max(args.i_print // 10, 1) == 0):
             print(f"[stage1] epoch {epoch} loss={float(metrics['loss']):.4f}"
@@ -384,11 +463,15 @@ def train(args, progress_cb=None):
             progress_cb(epoch, metrics)
 
         if (epoch + 1) % args.i_weights == 0 or epoch == args.N_iters - 1:
-            save_stage1_checkpoint(
-                os.path.join(rundir, f"ckpt_epoch_{epoch:04d}.npz"),
-                model, params, epoch)
+            # multi-host: gather is COLLECTIVE (all processes join);
+            # only the primary writes the file
+            params_host = dist.gather_for_host(params)
+            if dist.is_primary():
+                save_stage1_checkpoint(
+                    os.path.join(rundir, f"ckpt_epoch_{epoch:04d}.npz"),
+                    model, params_host, epoch)
 
-        if (epoch + 1) % args.i_video == 0:
+        if (epoch + 1) % args.i_video == 0 and jax.process_count() == 1:
             frames = render_preview(model, params, H, W,
                                     cameras.pose_to_extrinsic(
                                         scene["render_poses"]),

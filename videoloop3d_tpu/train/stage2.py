@@ -417,7 +417,17 @@ def train(args, progress_cb=None):
         _stack = np.stack(dataset.videos)
         if _stack.size * 4 <= 1.1e9:
             _stack = _stack.astype(np.float32) / 255.0
-        videos_dev = jnp.asarray(_stack)
+        if mesh is not None:
+            # place ONCE per level as a global (replicated) array on the
+            # full mesh — a plain jnp.asarray would be a process-local
+            # single-device array that the first sharded step rejects in
+            # multi-host runs (commit_batch passes jax.Arrays through)
+            from jax.sharding import PartitionSpec as P
+            from videoloop3d_tpu.parallel.distributed import commit_batch
+            videos_dev = commit_batch(mesh, {"videos": P()},
+                                      {"videos": _stack})["videos"]
+        else:
+            videos_dev = jnp.asarray(_stack)
         # one jitted step per distinct loss config (<= 2)
         step_cache = {}
         for item_cfg in loss_cfgs:
