@@ -312,6 +312,14 @@ def main():
                     default=True,
                     help="also measure the stage-1 step (subprocess) and "
                          "merge it into the JSON line")
+    ap.add_argument("--hw", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="hardware-utilization accounting (XLA cost "
+                         "model FLOPs/bytes as %% of v5e peak + gather "
+                         "descriptor rate) in the JSON line")
+    ap.add_argument("--split", action="store_true",
+                    help="also measure the fwd / fwd+bwd / loss "
+                         "decomposition of the step (extra compiles)")
     ap.add_argument("--stage1-internal", action="store_true",
                     help=argparse.SUPPRESS)
     opts = ap.parse_args()
@@ -348,6 +356,8 @@ def main():
     import jax
     if opts.cpu:
         jax.config.update("jax_platforms", "cpu")
+    from videoloop3d_tpu.backend import enable_compile_cache
+    enable_compile_cache()
     import jax.numpy as jnp
     from videoloop3d_tpu.train.stage2 import make_stage2_step
 
@@ -408,6 +418,21 @@ def main():
         out["stage1_step_ms"] = stage1_ms
         out["stage1_vs_baseline"] = round(
             BASELINE_STAGE1_STEP_MS / stage1_ms, 3)
+    if opts.hw:
+        try:
+            lowered = step.lower(params, opt_state, batch, lr, weights,
+                                 rng)
+            out["hw"] = hw_utilization(lowered.compile(), step_ms, info,
+                                       model, batch)
+        except Exception as e:                      # never break the line
+            out["hw"] = {"error": str(e)[:160]}
+    if opts.split:
+        try:
+            out["split"] = measure_split(model, args, params, batch,
+                                         losscfg, ph, pw,
+                                         iters=opts.iters)
+        except Exception as e:
+            out["split"] = {"error": str(e)[:160]}
     print(json.dumps(out))
 
 

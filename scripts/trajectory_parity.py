@@ -97,11 +97,16 @@ def run_stage2(name, scene_dir, ckpt, extra):
     return hist
 
 
+SEED_CONTROLS = ("seed3", "seed4", "seed5")
+
+
 def main():
     scene_dir, ckpt = ensure_stage1()
     runs = {
         "single": ["--mesh_devices", "1"],
         "seed3":  ["--mesh_devices", "1", "--seed", "3"],
+        "seed4":  ["--mesh_devices", "1", "--seed", "4"],
+        "seed5":  ["--mesh_devices", "1", "--seed", "5"],
         "dp4":    ["--mesh_devices", "4", "--mesh_fp", "1"],
         "fp4":    ["--mesh_devices", "4", "--mesh_fp", "4"],
         "bf16":   ["--mesh_devices", "1", "--fp16"],
@@ -114,31 +119,43 @@ def main():
     # per-level final swd loss (the optimization target) per run
     levels = sorted({li for li, _, _, _ in hists["single"]})
     lines = ["# Stage-2 trajectory parity (CPU, synthetic scene)", "",
-             "Same scene/checkpoint trained 5 ways; `seed3` (different "
-             "shuffle/noise seed) defines the run-to-run noise band. "
-             "Values = final `swd` looping loss per pyramid level.", "",
-             "| level | " + " | ".join(runs) + " |",
-             "|---|" + "---|" * len(runs)]
+             "Same scene/checkpoint trained 7 ways; three reseeded "
+             "single-device controls (`seed3/4/5`: different "
+             "shuffle/noise seeds) define a PER-LEVEL run-to-run noise "
+             "band.  dp4/fp4/bf16 must sit inside the band at EVERY "
+             "pyramid level (dp's adaptive lr is per-optimizer-step "
+             "budget — see train/stage2.py).  Values = final `swd` "
+             "looping loss per pyramid level.", "",
+             "| level | " + " | ".join(runs) + " | noise band |",
+             "|---|" + "---|" * (len(runs) + 1)]
     final = {}
     for name, h in hists.items():
         f = {}
         for li, ep, loss, swd in h:
             f[li] = swd
         final[name] = f
+    noise = {li: max(abs(final[s][li] - final["single"][li])
+                     for s in SEED_CONTROLS) for li in levels}
     for li in levels:
         lines.append(f"| {li} | " + " | ".join(
-            f"{final[n][li]:.4f}" for n in runs) + " |")
+            f"{final[n][li]:.4f}" for n in runs)
+            + f" | ±{noise[li]:.4f} |")
 
-    noise = abs(final["seed3"][levels[-1]] - final["single"][levels[-1]])
     lines.append("")
     ok = True
     for n in ("dp4", "fp4", "bf16"):
-        dev = abs(final[n][levels[-1]] - final["single"][levels[-1]])
-        verdict = "within" if dev <= max(2 * noise, 0.05 * abs(
-            final["single"][levels[-1]])) else "OUTSIDE"
-        ok &= verdict == "within"
-        lines.append(f"- `{n}` final-level deviation {dev:.4f} vs noise "
-                     f"band {noise:.4f}: **{verdict}**")
+        worst = ""
+        n_ok = True
+        for li in levels:
+            dev = abs(final[n][li] - final["single"][li])
+            band = max(2 * noise[li], 0.05 * abs(final["single"][li]))
+            if dev > band:
+                n_ok = False
+                worst += f" l{li}: dev {dev:.4f} > band {band:.4f};"
+        ok &= n_ok
+        lines.append(f"- `{n}`: "
+                     + ("**within** the noise band at every level"
+                        if n_ok else f"**OUTSIDE**:{worst}"))
     lines.append("")
     lines.append(f"Overall: {'PASS' if ok else 'FAIL'}")
     out = os.path.join(os.path.dirname(os.path.dirname(

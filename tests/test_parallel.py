@@ -94,6 +94,41 @@ def test_dp_step_matches_single_device():
         assert np.allclose(a, b, atol=1e-5), k
 
 
+def test_dp_step_weight_masked_padding():
+    """Zero-weight rows must contribute NOTHING: two dp batches that
+    differ only in their wt=0 filler rows produce identical updates
+    (exact per-epoch accounting for partial batches / --shard_views)."""
+    scene, args, model, params = _tiny_mpv()
+    args.optimizer = "sgd"
+    mesh = make_mesh(n_dp=8, n_fp=1)
+    weights = {k: jnp.asarray(0.2, jnp.float32)
+               for k in ("sparsity", "rgb_smooth", "a_smooth", "d_smooth",
+                         "density")}
+    rng = jax.random.PRNGKey(0)
+    ext, intr, vids = _patch_batch(scene, 8)
+    wt = np.array([1, 1, 1, 1, 1, 0, 0, 0], np.float32)
+
+    dp_step, dp_init = make_dp_stage2_step(model, args, 24, 32, LOSSCFG,
+                                           mesh)
+
+    def run(fill):
+        e, i, v = ext.copy(), intr.copy(), vids.copy()
+        e[5:], i[5:], v[5:] = fill(e), fill(i), fill(v)
+        p, _, m = dp_step(
+            jax.tree.map(jnp.copy, params), dp_init(params),
+            {"extrin": jnp.asarray(e), "intrin": jnp.asarray(i),
+             "video": jnp.asarray(v), "wt": jnp.asarray(wt)},
+            jnp.asarray(0.1), weights, rng)
+        return p, m
+
+    p_a, m_a = run(lambda a: a[:3])               # fillers = copies
+    p_b, m_b = run(lambda a: a[2:5][::-1])        # fillers = different
+    assert np.isclose(float(m_a["loss"]), float(m_b["loss"]), rtol=1e-5)
+    for k in params:
+        assert np.allclose(np.asarray(p_a[k]), np.asarray(p_b[k]),
+                           atol=1e-6), k
+
+
 def _tiny_mpi():
     scene = synthetic.make_scene(n_views=3, h=24, w=32, n_frames=4,
                                  seed=0)

@@ -14,8 +14,35 @@ from __future__ import annotations
 import os
 
 
+def enable_compile_cache(cache_dir=None) -> None:
+    """Persistent XLA compilation cache: warm starts skip the ~70 s
+    cold compile of the production-scale steps (measured ~30 s warm on
+    the v5e for the stage-1 step).  Default location is repo-local
+    ``.jax_cache`` (gitignored); override with $VL3D_COMPILE_CACHE,
+    disable with VL3D_COMPILE_CACHE=off."""
+    env = os.environ.get("VL3D_COMPILE_CACHE", "")
+    if env.lower() in ("off", "0", "none"):
+        return
+    if cache_dir is None:
+        cache_dir = env or os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".jax_cache")
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # default thresholds skip small-but-numerous programs; cache
+        # everything that takes >= 1 s to build
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass  # older jax without the knobs: cold compiles only
+
+
 def apply_backend_from_args(args) -> None:
-    """Honor ``gpu_num <= 0`` -> CPU backend (no-op otherwise)."""
+    """Honor ``gpu_num <= 0`` -> CPU backend (no-op otherwise) and turn
+    on the persistent compilation cache."""
     if int(getattr(args, "gpu_num", 1)) <= 0:
         os.environ["JAX_PLATFORMS"] = "cpu"
         import jax
@@ -25,3 +52,4 @@ def apply_backend_from_args(args) -> None:
         except Exception:
             pass  # backend already initialized; env var still wins on fork
         print("[backend] gpu_num <= 0: running on the CPU backend")
+    enable_compile_cache()

@@ -182,6 +182,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh_fp", type=int, default=0,
                    help="frame-parallel axis size (0 = auto: largest "
                         "divisor of the loop length that fits)")
+    p.add_argument("--shard_views", action="store_true",
+                   help="multi-host per-process data loading: each "
+                        "process decodes/uploads only the views its dp "
+                        "rows train on (stage 2; requires every process "
+                        "to own >= 1 train view)")
     # multi-host (one process per host; see parallel/distributed.py)
     p.add_argument("--coordinator_address", type=str, default="",
                    help="host:port of process 0 for "

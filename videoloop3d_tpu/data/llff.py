@@ -82,13 +82,27 @@ def load_llff_scene(basedir, factor=2, recenter=True, bd_factor=(1, 1),
     }
 
 
+def count_views(basedir, factor=1):
+    """Number of per-view videos WITHOUT decoding any (used to compute
+    multi-host view partitions before loading)."""
+    pattern = os.path.join(basedir, f"videos_{factor}", "*")
+    paths = sorted(p for p in glob.glob(pattern) if not p.endswith(".txt"))
+    return len(paths)
+
+
 def load_mv_videos(basedir, factor=1, recenter=True, bd_factor=(1, 1),
-                   render_frames=120, render_scaling=1.0):
+                   render_frames=120, render_scaling=1.0,
+                   load_views=None):
     """Scene + decoded per-view videos (ref dataloader.py:137-147).
 
     Video files live in ``videos_{factor}/``; ``.npy`` stacks are also
     accepted (used by tests & synthetic scenes).  Returns
     (videos, fps, scene_dict); videos is a list of (F, H, W, 3) uint8.
+
+    ``load_views``: optional set of view indices to decode; other list
+    entries are None (multi-host per-process data loading — each process
+    decodes only the views its dp shard trains on, see
+    parallel/distributed.py and train/stage2.py --shard_views).
     """
     scene = load_llff_scene(basedir, factor, recenter, bd_factor,
                             render_frames, render_scaling)
@@ -96,7 +110,9 @@ def load_mv_videos(basedir, factor=1, recenter=True, bd_factor=(1, 1),
     paths = sorted(p for p in glob.glob(pattern) if not p.endswith(".txt"))
     if not paths:
         raise FileNotFoundError(f"no videos under {pattern}")
-    videos = [video_io.read_video(p) for p in paths]
+    sel = None if load_views is None else set(int(v) for v in load_views)
+    videos = [video_io.read_video(p) if sel is None or i in sel else None
+              for i, p in enumerate(paths)]
     fps = video_io.read_fps(paths[0])
     return videos, fps, scene
 

@@ -117,7 +117,10 @@ class VideoPatchDataset(PatchSampler):
 
     def __init__(self, hw, videos, patch_size, patch_stride, poses, intrins,
                  loss_configs):
-        raw_hw = videos[0].shape[1:3]
+        # None entries = views whose pixels live on another process
+        # (multi-host per-process loading); geometry/metadata is still
+        # built for them, only the pixel data is absent.
+        raw_hw = next(v for v in videos if v is not None).shape[1:3]
         super().__init__(hw, len(videos), patch_size, patch_stride, poses,
                          intrins, raw_hw)
         assert len(loss_configs) == len(videos)
@@ -125,6 +128,9 @@ class VideoPatchDataset(PatchSampler):
         ph, pw = self.pad
         self.videos = []
         for vid in videos:
+            if vid is None:
+                self.videos.append(None)
+                continue
             vid = video_io.resize_video(vid, self.h, self.w)
             vid = np.pad(vid, ((0, 0), (0, ph), (0, pw), (0, 0)))
             self.videos.append(vid)   # keep uint8; crop converts
@@ -152,6 +158,10 @@ class VideoPatchDataset(PatchSampler):
         else:
             vi = item_or_view
             w0, h0 = wh_start
+        if self.videos[vi] is None:
+            raise ValueError(
+                f"view {vi}'s pixels were not loaded on this process "
+                f"(per-process data loading); only metadata is available")
         ph, pw = self.patch_size
         crop = self.videos[vi][:, h0:h0 + ph, w0:w0 + pw]
         return crop.astype(np.float32) / 255.0

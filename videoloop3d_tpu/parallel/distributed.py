@@ -139,6 +139,81 @@ def commit_batch(mesh, spec_tree, tree):
                         is_leaf=lambda x: x is None)
 
 
+def partition_views(train_view, ref_idxs, nproc):
+    """Owner process for every train view (per-process data loading).
+
+    Round-robins each loss-config class (reference vs other views,
+    train_3dvid.py:160-192) over processes separately, so every process
+    gets a proportional share of each config when counts allow.
+    Returns {view_id: process_index}.  Raises if some process would own
+    zero views (it could never contribute real data).
+    """
+    ref = [v for v in train_view if v in ref_idxs]
+    oth = [v for v in train_view if v not in ref_idxs]
+    owner = {}
+    for cls in (ref, oth):
+        for i, v in enumerate(cls):
+            owner[v] = i % nproc
+    counts = [sum(1 for p in owner.values() if p == q)
+              for q in range(nproc)]
+    if min(counts) == 0:
+        raise ValueError(
+            f"--shard_views: {len(train_view)} train views cannot give "
+            f"every one of {nproc} processes a view (counts {counts}); "
+            f"run with fewer processes or without --shard_views")
+    return owner
+
+
+def build_sharded_video_stack(mesh, owner, train_view, videos_local,
+                              dtype_threshold_bytes=1.1e9):
+    """Per-process device video stacks as ONE global array sharded over
+    'dp': global shape (n_dp, V_max, F, h, w, 3) where row r's shard
+    holds row-r's-process's view subset (padded to V_max by repeating
+    its last view; padding slots are never indexed).  Non-addressable
+    shards never materialize on this host — the whole point.
+
+    videos_local: list over train_view positions, None for foreign
+    views.  Returns (global_array, local_index) where
+    local_index[position] = index into the OWNER's stack (valid only on
+    the owner, but deterministically identical on every process).
+    """
+    import jax
+    import jax.numpy as jnp  # noqa: F401
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    nproc = jax.process_count()
+    me = jax.process_index()
+    n_dp = mesh.shape["dp"]
+    assert n_dp % max(nproc, 1) == 0, (n_dp, nproc)
+
+    per_proc = [[] for _ in range(nproc)]
+    local_index = {}
+    for pos, v in enumerate(train_view):
+        p = owner[v]
+        local_index[pos] = len(per_proc[p])
+        per_proc[p].append(pos)
+    v_max = max(len(q) for q in per_proc)
+
+    mine = per_proc[me]
+    stack = np.stack([videos_local[pos] for pos in mine])
+    if v_max > len(mine):                       # pad, never referenced
+        pad = np.repeat(stack[-1:], v_max - len(mine), axis=0)
+        stack = np.concatenate([stack, pad])
+    # dtype decision must be GLOBALLY deterministic (all shards of one
+    # array share a dtype): use the padded global per-row size
+    if stack.size * 4 <= dtype_threshold_bytes:
+        stack = stack.astype(np.float32) / 255.0
+    g_shape = (n_dp,) + stack.shape
+    sh = NamedSharding(mesh, P("dp"))
+
+    def cb(idx):
+        rows = idx[0].stop - idx[0].start
+        return np.broadcast_to(stack[None], (rows,) + stack.shape)
+
+    arr = jax.make_array_from_callback(g_shape, sh, cb)
+    return arr, local_index
+
+
 def is_primary():
     """True on the process that should write files (checkpoints,
     previews, logs).  Always true single-process."""

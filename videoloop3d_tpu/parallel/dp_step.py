@@ -20,9 +20,15 @@ from videoloop3d_tpu.train.stage2 import make_patch_loss_fn, device_crop
 
 # sharding of every supported batch key: camera params + patch origins
 # ride 'dp'; the per-level device-resident uint8 video stack (see
-# stage2.device_crop) is replicated
+# stage2.device_crop) is replicated.  'videos_sharded' is the
+# per-process-data-loading variant: axis 0 is the dp row, each row
+# holding ITS OWN PROCESS's view subset (so non-addressable shards need
+# no host data; 'view' then carries process-LOCAL indices).  'wt' is a
+# per-row validity weight (0 = filler row, e.g. a process that owns no
+# view of this batch's loss config) applied to the gradient psum.
 BATCH_KEY_SPECS = {"extrin": P("dp"), "intrin": P("dp"),
                    "video": P("dp"), "videos": P(),
+                   "videos_sharded": P("dp"), "wt": P("dp"),
                    "view": P("dp"), "h0": P("dp"), "w0": P("dp")}
 
 # stage-1 batches: run-resident image/mask stacks replicated, everything
@@ -91,6 +97,12 @@ def make_dp_stage2_step(model, args, ph, pw, losscfg, mesh):
         # drops it ((F, ph, pw, 3) per patch).
         if "video" in batch:
             vid = batch["video"][0]
+        elif "videos_sharded" in batch:
+            # per-process stacks: this row's shard holds its process's
+            # views; batch["view"] carries process-local indices
+            vid = device_crop(batch["videos_sharded"][0],
+                              batch["view"][0], batch["h0"][0],
+                              batch["w0"][0], ph, pw)
         else:
             vid = device_crop(batch["videos"], batch["view"][0],
                               batch["h0"][0], batch["w0"][0], ph, pw)
@@ -101,8 +113,16 @@ def make_dp_stage2_step(model, args, ph, pw, losscfg, mesh):
         grads, metrics = jax.grad(
             lambda p: loss_fn(p, local, weights, my_rng),
             has_aux=True)(params)
-        grads = jax.lax.pmean(grads, "dp")
-        metrics = jax.lax.pmean(metrics, "dp")
+        if "wt" in batch:
+            w = batch["wt"][0]
+            denom = jax.lax.psum(w, "dp")
+            grads = jax.tree.map(
+                lambda g: jax.lax.psum(g * w, "dp") / denom, grads)
+            metrics = jax.tree.map(
+                lambda m: jax.lax.psum(m * w, "dp") / denom, metrics)
+        else:
+            grads = jax.lax.pmean(grads, "dp")
+            metrics = jax.lax.pmean(metrics, "dp")
         lr_tree = opt_lib.build_lr_tree(params, lr, group_fn)
         new_params, new_opt = opt_update(params, grads, opt_state, lr_tree)
         return new_params, new_opt, metrics

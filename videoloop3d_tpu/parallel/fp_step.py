@@ -269,8 +269,19 @@ def make_fp_stage2_step(model, args, ph, pw, losscfg, mesh,
         for k in grads:
             if k != "atlas_dyn":
                 grads[k] = jax.lax.psum(grads[k], "fp")
-        grads = jax.lax.pmean(grads, "dp")
-        metrics = jax.lax.pmean(metrics, ("dp", "fp"))
+        if "wt" in batch:
+            # weight-0 = padding row of a partial dp batch (exact
+            # per-epoch item accounting, see stage2.batched_items)
+            w = batch["wt"][0]
+            denom = jax.lax.psum(w, "dp")
+            grads = jax.tree.map(
+                lambda g: jax.lax.psum(g * w, "dp") / denom, grads)
+            metrics = jax.tree.map(
+                lambda m: jax.lax.psum(m * w, "dp") / denom,
+                jax.lax.pmean(metrics, "fp"))
+        else:
+            grads = jax.lax.pmean(grads, "dp")
+            metrics = jax.lax.pmean(metrics, ("dp", "fp"))
         lr_tree = opt_lib.build_lr_tree(params, lr, group_fn)
         new_params, new_opt = opt_update(params, grads, opt_state, lr_tree)
         return new_params, new_opt, metrics

@@ -27,6 +27,8 @@ def main(argv=None):
     ap.add_argument("--num_processes", type=int, default=2)
     ap.add_argument("--port", type=int, default=29531)
     ap.add_argument("--local_devices", type=int, default=2)
+    ap.add_argument("--mode", choices=["step", "shard_views"],
+                    default="step")
     opts = ap.parse_args(argv)
 
     # CPU platform + virtual local devices, BEFORE backend init
@@ -43,6 +45,9 @@ def main(argv=None):
     dist.init_distributed(
         coordinator_address=f"localhost:{opts.port}",
         num_processes=opts.num_processes, process_id=opts.process_id)
+
+    if opts.mode == "shard_views":
+        return run_shard_views(opts)
 
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
@@ -107,6 +112,82 @@ def main(argv=None):
     print(f"MULTIHOST_OK process={opts.process_id} "
           f"procs={jax.process_count()} devices={n_dev} "
           f"loss={loss:.6f}", flush=True)
+
+
+def run_shard_views(opts):
+    """Phase 3 of the multichip dryrun: the REAL stage-2 trainer with
+    --shard_views across 2 coordinated processes.  Asserts this process
+    decoded ONLY its owned views (disjoint host data — the launcher
+    cross-checks the two processes' decode sets are disjoint and
+    complete) and that per-process host video bytes are ~1/nproc of the
+    scene."""
+    import tempfile
+
+    import jax
+    import numpy as np
+
+    from videoloop3d_tpu.config import parse_args_with_configs
+    from videoloop3d_tpu.data import synthetic, video as video_io
+    from videoloop3d_tpu.train import stage2
+
+    # per-process scene dir with IDENTICAL content (same seed)
+    scene_dir = os.path.join(tempfile.gettempdir(),
+                             f"sv_dryrun_p{jax.process_index()}", "scene")
+    if not os.path.exists(os.path.join(scene_dir, "poses_bounds.npy")):
+        scene = synthetic.make_scene(n_views=4, h=24, w=32, n_frames=4,
+                                     seed=0)
+        synthetic.write_llff_dir(scene, scene_dir, factor=1)
+
+    decoded = []
+    orig_read = video_io.read_video
+
+    def counting_read(path):
+        arr = orig_read(path)
+        decoded.append((os.path.basename(path), arr.nbytes))
+        return arr
+
+    video_io.read_video = counting_read
+    root = os.path.dirname(scene_dir)
+    argv = ["--datadir", scene_dir, "--expdir", os.path.join(root, "mpv"),
+            "--expname", "sv", "--factor", "1",
+            "--mpi_h_scale", "1.2", "--mpi_w_scale", "1.2",
+            "--mpi_h_verts", "5", "--mpi_w_verts", "7",
+            "--mpi_d", "4", "--atlas_grid_h", "2",
+            "--mpv_frm_num", "4", "--mpv_isloop",
+            "--patch_h_size", "24", "--patch_w_size", "32",
+            "--patch_h_stride", "16", "--patch_w_stride", "24",
+            "--lrate", "0.2", "--lrate_adaptive",
+            "--pyr_minimal_dim", "20", "--pyr_num_epoch", "1",
+            "--loss_name", "gpnn_lm",
+            "--swd_patch_size", "3", "--swd_patcht_size", "3",
+            "--swd_stride", "2", "--swd_stridet", "1",
+            # both loss configs in play: views 0,1 are reference views,
+            # so the round-robin partition gives EACH process one ref +
+            # one other view (exercises the per-class split)
+            "--loss_ref_idx", "0,1", "--loss_name_ref", "gpnn_lm",
+            "--swd_patch_size_ref", "3", "--swd_patcht_size_ref", "3",
+            "--swd_stride_ref", "2", "--swd_stridet_ref", "1",
+            "--swd_loss_gain_ref", "2.0",
+            "--swd_macro_block", "17", "--swd_num_proj", "16",
+            "--scale_invariant", "--init_std", "0.02",
+            "--i_weights", "1000", "--i_video", "1000", "--i_img", "100",
+            "--i_print", "1000", "--seed", "1",
+            "--shard_views", "--disable_auto_resume"]
+    losses = []
+    stage2.train(parse_args_with_configs(argv),
+                 progress_cb=lambda li, ep, m: losses.append(
+                     float(m["loss"])))
+
+    # disjointness: exactly the owned half was decoded
+    n_views = 4
+    nproc = jax.process_count()
+    assert len(decoded) == n_views // nproc, decoded
+    my_views = sorted(int(os.path.splitext(n)[0]) for n, _ in decoded)
+    host_bytes = sum(b for _, b in decoded)
+    assert losses and np.isfinite(losses[-1])
+    print(f"MULTIHOST_SV_OK process={jax.process_index()} "
+          f"views={','.join(map(str, my_views))} "
+          f"host_bytes={host_bytes} loss={losses[-1]:.6f}", flush=True)
 
 
 if __name__ == "__main__":

@@ -260,9 +260,29 @@ def train(args, progress_cb=None):
     expdir = os.path.join(args.prefix, args.expdir)
     rundir = os.path.join(expdir, expname)
 
+    # multi-host per-process data loading: decide view ownership BEFORE
+    # decoding so each process reads only its dp rows' views
+    shard_views = bool(getattr(args, "shard_views", False))
+    owner = None
+    load_views = None
+    if shard_views:
+        from videoloop3d_tpu.parallel import distributed as dist
+        V_all = llff.count_views(datadir, args.factor)
+        tv = [int(t) for t in args.test_view_idx.split(",")] \
+            if args.test_view_idx else []
+        tr = sorted(set(range(V_all)) - set(tv))
+        refs = [int(i) for i in args.loss_ref_idx.split(",")] \
+            if args.loss_ref_idx else []
+        owner = dist.partition_views(tr, refs, jax.process_count())
+        load_views = {v for v, p in owner.items()
+                      if p == jax.process_index()}
+        print(f"[stage2] --shard_views: this process decodes views "
+              f"{sorted(load_views)} of {sorted(tr)}")
+
     videos, fps, scene = llff.load_mv_videos(
         basedir=datadir, factor=args.factor,
-        bd_factor=(args.near_factor, args.far_factor), recenter=True)
+        bd_factor=(args.near_factor, args.far_factor), recenter=True,
+        load_views=load_views)
     H, W = scene["hw"]
     poses, intrins, bds = scene["poses"], scene["intrins"], scene["bds"]
     V = len(videos)
@@ -274,6 +294,9 @@ def train(args, progress_cb=None):
     videos = [videos[i] for i in train_view]
     poses = poses[train_view]
     intrins = intrins[train_view]
+    # positional ownership (dataset indexing is by train_view position)
+    owner_pos = None if owner is None else \
+        {pos: owner[v] for pos, v in enumerate(train_view)}
 
     ref_pose = cameras.average_pose(poses)[:, :4]
     ref_extrin = cameras.pose_to_extrinsic(ref_pose)
@@ -334,11 +357,21 @@ def train(args, progress_cb=None):
         else min(args.mesh_devices, len(jax.devices()))
     mesh = None
     multiproc = jax.process_count() > 1
+    if shard_views and args.mesh_fp > 1:
+        raise ValueError("--shard_views currently supports dp-only "
+                         "meshes (the sharded video stack is laid out "
+                         "over 'dp' rows); drop --mesh_fp")
+    if shard_views and getattr(args, "host_crops", False):
+        raise ValueError("--shard_views is incompatible with "
+                         "--host_crops (host crops need every view's "
+                         "pixels on every process)")
     if n_dev > 1:
         from videoloop3d_tpu.parallel.distributed import make_global_mesh
         min_fl = max(c["patcht_size"] for c in loss_cfgs) - 1
         n_fp = args.mesh_fp
-        if n_fp <= 0:
+        if shard_views:
+            n_fp = 1
+        elif n_fp <= 0:
             local = n_dev // jax.process_count()
             n_fp = 1
             for cand in range(local, 0, -1):
@@ -376,7 +409,11 @@ def train(args, progress_cb=None):
     def batched_items(dataset):
         """Group the shuffled epoch into same-losscfg batches of the dp
         size (padding by repetition), then interleave the groups in
-        shuffled order (matching the reference's global patch shuffle)."""
+        shuffled order (matching the reference's global patch shuffle).
+        Returns (cfg_key, items, weights) triples; weights is None
+        except under --shard_views (see _batched_items_sharded)."""
+        if shard_views and mesh is not None:
+            return _batched_items_sharded(dataset)
         groups = {}
         for item in dataset.iter_epoch(np_rng, shuffle=True):
             k = repr(sorted(item["losscfg"].items()))
@@ -386,9 +423,64 @@ def train(args, progress_cb=None):
             bs = step_cache[k][2]
             for i in range(0, len(items), bs):
                 chunk = items[i:i + bs]
-                while len(chunk) < bs:
-                    chunk.append(chunk[-1])
-                batches.append((k, chunk))
+                wts = None
+                if len(chunk) < bs:
+                    # weight-0 padding: a repeated item would otherwise
+                    # over-train small loss-config groups per epoch
+                    # (coarse pyramid levels have few patches; the bias
+                    # showed up as dp4 convergence deviation).  Exact:
+                    # the step's masked psum divides by the real count.
+                    wts = np.asarray([1.0] * len(chunk)
+                                     + [0.0] * (bs - len(chunk)),
+                                     np.float32)
+                    while len(chunk) < bs:
+                        chunk.append(chunk[-1])
+                batches.append((k, chunk, wts))
+        np_rng.shuffle(batches)
+        return batches
+
+    def _batched_items_sharded(dataset):
+        """--shard_views batching: dp rows are process-major, and each
+        row may only train views its PROCESS owns (the sharded video
+        stack holds only those).  Every process runs this identically
+        (the schedule is pure metadata; only pixel access is local).
+        Rows that run out of items for a config get weight-0 filler
+        (local data, zero gradient via the masked psum in dp_step) —
+        every patch is trained exactly once per epoch."""
+        nproc = jax.process_count()
+        n_dp = mesh.shape["dp"]
+        rows_pp = n_dp // nproc
+        groups = {}
+        for item in dataset.iter_epoch(np_rng, shuffle=True):
+            k = repr(sorted(item["losscfg"].items()))
+            groups.setdefault(k, []).append(item)
+        # a guaranteed-local filler item per process (any config)
+        filler = [None] * nproc
+        for items in groups.values():
+            for it in items:
+                p = owner_pos[it["view"]]
+                if filler[p] is None:
+                    filler[p] = it
+        batches = []
+        for k, items in groups.items():
+            per_proc = [[] for _ in range(nproc)]
+            for it in items:
+                per_proc[owner_pos[it["view"]]].append(it)
+            n_b = max(-(-len(q) // rows_pp) for q in per_proc if q)
+            for b in range(n_b):
+                slots, wts = [], []
+                for p in range(nproc):
+                    q = per_proc[p] or [filler[p]]
+                    real = per_proc[p]
+                    for j in range(rows_pp):
+                        i = b * rows_pp + j
+                        if real and i < len(real):
+                            slots.append(real[i])
+                            wts.append(1.0)
+                        else:
+                            slots.append(q[i % len(q)])
+                            wts.append(0.0)
+                batches.append((k, slots, np.asarray(wts, np.float32)))
         np_rng.shuffle(batches)
         return batches
 
@@ -414,20 +506,33 @@ def train(args, progress_cb=None):
         # device_crop).  Coarse levels upload as f32 (the u8 slice
         # kernel faults at some coarse shapes - device_crop docstring);
         # large levels stay u8 for HBM.
-        _stack = np.stack(dataset.videos)
-        if _stack.size * 4 <= 1.1e9:
-            _stack = _stack.astype(np.float32) / 255.0
-        if mesh is not None:
-            # place ONCE per level as a global (replicated) array on the
-            # full mesh — a plain jnp.asarray would be a process-local
-            # single-device array that the first sharded step rejects in
-            # multi-host runs (commit_batch passes jax.Arrays through)
-            from jax.sharding import PartitionSpec as P
-            from videoloop3d_tpu.parallel.distributed import commit_batch
-            videos_dev = commit_batch(mesh, {"videos": P()},
-                                      {"videos": _stack})["videos"]
+        local_index = None
+        if shard_views and mesh is not None:
+            # per-process stacks, sharded over dp rows: each device
+            # holds only ITS process's views (HBM and host memory both
+            # scale 1/nproc); 'view' batch indices become process-local
+            from videoloop3d_tpu.parallel.distributed import \
+                build_sharded_video_stack
+            videos_dev, local_index = build_sharded_video_stack(
+                mesh, owner_pos, list(range(len(train_view))),
+                dataset.videos)
         else:
-            videos_dev = jnp.asarray(_stack)
+            _stack = np.stack(dataset.videos)
+            if _stack.size * 4 <= 1.1e9:
+                _stack = _stack.astype(np.float32) / 255.0
+            if mesh is not None:
+                # place ONCE per level as a global (replicated) array on
+                # the full mesh — a plain jnp.asarray would be a
+                # process-local single-device array that the first
+                # sharded step rejects in multi-host runs (commit_batch
+                # passes jax.Arrays through)
+                from jax.sharding import PartitionSpec as P
+                from videoloop3d_tpu.parallel.distributed import \
+                    commit_batch
+                videos_dev = commit_batch(mesh, {"videos": P()},
+                                          {"videos": _stack})["videos"]
+            else:
+                videos_dev = jnp.asarray(_stack)
         # one jitted step per distinct loss config (<= 2)
         step_cache = {}
         for item_cfg in loss_cfgs:
@@ -439,11 +544,22 @@ def train(args, progress_cb=None):
         for epoch in range(num_epoch):
             if pyr_i == start_level and epoch < start_epoch:
                 continue
-            for cfg_key, items in batched_items(dataset):
+            batches = batched_items(dataset)
+            for cfg_key, items, wts in batches:
                 lr = opt_lib.lr_schedule(epoch, args.lrate,
                                          decay_steps_k=args.lrate_decay)
                 if args.lrate_adaptive:
-                    lr = lr / len(dataset)
+                    # the reference's adaptive LR (train_3dvid.py:283-287,
+                    # README:149) keeps the per-EPOCH update budget
+                    # constant by dividing by the optimizer-step count.
+                    # Under dp each step consumes n_dp patches, so the
+                    # divisor is the number of batches, not of patches —
+                    # dividing by len(dataset) made a dp=4 run take 4x
+                    # fewer updates at the same per-step lr and
+                    # under-train every level (round-2 trajectory study's
+                    # level-0 deviation).  Single-device (batch size 1)
+                    # the two divisors coincide.
+                    lr = lr / len(batches)
                 exts, intrs, views, h0s, w0s = [], [], [], [], []
                 for item in items:
                     intrin = item["intrin"]
@@ -466,6 +582,17 @@ def train(args, progress_cb=None):
                         "video": np.stack(vids) if mesh is not None
                         else vids[0],
                     }
+                elif local_index is not None:
+                    batch = {
+                        "extrin": np.stack(exts).astype(np.float32),
+                        "intrin": np.stack(intrs).astype(np.float32),
+                        "videos_sharded": videos_dev,
+                        "view": np.asarray([local_index[v] for v in views],
+                                           np.int32),
+                        "h0": np.asarray(h0s, np.int32),
+                        "w0": np.asarray(w0s, np.int32),
+                        "wt": np.asarray(wts, np.float32),
+                    }
                 else:
                     batch = {
                         "extrin": np.stack(exts).astype(np.float32),
@@ -475,6 +602,9 @@ def train(args, progress_cb=None):
                         "h0": np.asarray(h0s, np.int32),
                         "w0": np.asarray(w0s, np.int32),
                     }
+                if wts is not None and mesh is not None \
+                        and "wt" not in batch:
+                    batch["wt"] = np.asarray(wts, np.float32)
                 if mesh is None:
                     batch = {k: jnp.asarray(v) for k, v in batch.items()}
                 else:
