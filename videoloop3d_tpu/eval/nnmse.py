@@ -15,12 +15,30 @@ import numpy as np
 from videoloop3d_tpu.losses import patch_nn as P
 
 
+_cpu_dev = None
+
+
+def _cpu():
+    """The NN metrics are pinned to the CPU backend: the axon TPU
+    runtime reproducibly faults ("TPU worker process crashed") or hangs
+    on this program family at eval scale — isolated standalone with
+    patcht=7/stridet=1 on (3, 50, 280, 560) inputs (the same math with
+    stridet=2 runs, and CPU compiles + runs the failing variant in
+    seconds).  The metric is a few hundred MFLOP per macro block, so
+    CPU costs seconds per view while the workaround removes the one
+    remaining eval-pass crash."""
+    global _cpu_dev
+    if _cpu_dev is None:
+        _cpu_dev = jax.local_devices(backend="cpu")[0]
+    return _cpu_dev
+
+
 def compute_nnerr(src, tar, patch_size=7, stride=2, patcht_size=7,
                   stridet=2, macro_block=65):
     """src, tar: (3, F, H, W) float arrays.  Mean L1 between every source
     patch and its temporal NN target patch, averaged over macro blocks."""
-    src = jnp.asarray(src, jnp.float32)
-    tar = jnp.asarray(tar, jnp.float32)
+    src = np.asarray(src, np.float32)
+    tar = np.asarray(tar, np.float32)
     psz = (patcht_size, patch_size, patch_size)
     strides = (stridet, stride, stride)
     macro = P.fit_patch_size(macro_block, patch_size, stride)
@@ -47,12 +65,15 @@ def compute_nnerr(src, tar, patch_size=7, stride=2, patcht_size=7,
         sel = jnp.take_along_axis(Yf, nns[..., None], axis=1)
         return jnp.mean(jnp.abs(sel - Xf))
 
+    dev = _cpu()
     errs = []
     for h0 in hs:
         for w0 in ws:
-            errs.append(float(block_err(
-                src[..., h0:h0 + macro, w0:w0 + macro],
-                tar[..., h0:h0 + macro, w0:w0 + macro])))
+            s_crop = jax.device_put(
+                src[..., h0:h0 + macro, w0:w0 + macro], dev)
+            t_crop = jax.device_put(
+                tar[..., h0:h0 + macro, w0:w0 + macro], dev)
+            errs.append(float(block_err(s_crop, t_crop)))
     return float(np.mean(errs))
 
 
