@@ -23,6 +23,8 @@ def enable_compile_cache(cache_dir=None) -> None:
     env = os.environ.get("VL3D_COMPILE_CACHE", "")
     if env.lower() in ("off", "0", "none"):
         return
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        return  # CPU compiles are seconds; not worth cache noise
     if cache_dir is None:
         cache_dir = env or os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -31,10 +33,11 @@ def enable_compile_cache(cache_dir=None) -> None:
 
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        # default thresholds skip small-but-numerous programs; cache
-        # everything that takes >= 1 s to build
+        # threshold at 5 s: catches the 20-70 s TPU step compiles while
+        # skipping the small CPU-backend programs (whose XLA:CPU AOT
+        # cache entries cross-load with noisy machine-feature warnings)
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                          1.0)
+                          5.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     except Exception:
         pass  # older jax without the knobs: cold compiles only

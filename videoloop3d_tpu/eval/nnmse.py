@@ -15,28 +15,23 @@ import numpy as np
 from videoloop3d_tpu.losses import patch_nn as P
 
 
-_cpu_dev = None
-
-
-def _cpu():
-    """The NN metrics are pinned to the CPU backend: the axon TPU
-    runtime reproducibly faults ("TPU worker process crashed") or hangs
-    on this program family at eval scale — isolated standalone with
-    patcht=7/stridet=1 on (3, 50, 280, 560) inputs (the same math with
-    stridet=2 runs, and CPU compiles + runs the failing variant in
-    seconds).  The metric is a few hundred MFLOP per macro block, so
-    CPU costs seconds per view while the workaround removes the one
-    remaining eval-pass crash."""
-    global _cpu_dev
-    if _cpu_dev is None:
-        _cpu_dev = jax.local_devices(backend="cpu")[0]
-    return _cpu_dev
-
-
 def compute_nnerr(src, tar, patch_size=7, stride=2, patcht_size=7,
                   stridet=2, macro_block=65):
     """src, tar: (3, F, H, W) float arrays.  Mean L1 between every source
-    patch and its temporal NN target patch, averaged over macro blocks."""
+    patch and its temporal NN target patch, averaged over macro blocks.
+
+    TPU note: on non-CPU backends the patches are extracted with the
+    MXU-friendly flat (identity-kernel conv) form — the same path the
+    training loss has soaked for hundreds of thousands of steps.  The
+    reshape-chain ``extract_patches_3d`` program family reproducibly
+    faults ("TPU worker process crashed") or hangs the axon TPU runtime
+    at eval scale (patcht=7/stridet=1 on (3, 50, 280, 560) inputs,
+    isolated standalone; the stridet=2 variant runs and CPU handles the
+    failing variant in seconds) — a backend bug this formulation
+    avoids.  The flat channel order (C, dt, dy, dx) permutes both X and
+    Y identically, so distances and the selected-patch L1 are
+    unchanged.
+    """
     src = np.asarray(src, np.float32)
     tar = np.asarray(tar, np.float32)
     psz = (patcht_size, patch_size, patch_size)
@@ -51,30 +46,52 @@ def compute_nnerr(src, tar, patch_size=7, stride=2, patcht_size=7,
     tar = tar[:, :ftt, :fh, :fw]
     hs = P._macro_starts(fh, macro, patch_size, stride)
     ws = P._macro_starts(fw, macro, patch_size, stride)
+    # all macro blocks in ONE vmapped dispatch (a sequential
+    # float()-per-block loop costs 10-60 min per full-scale eval); the
+    # jitted fn is cached across calls so per-view invocations at the
+    # same shapes reuse the executable
+    fn = _block_err_fn(psz, strides, jax.default_backend() != "cpu")
+    s_crops = jnp.asarray(np.stack(
+        [src[..., h0:h0 + macro, w0:w0 + macro]
+         for h0 in hs for w0 in ws]))
+    t_crops = jnp.asarray(np.stack(
+        [tar[..., h0:h0 + macro, w0:w0 + macro]
+         for h0 in hs for w0 in ws]))
+    errs = fn(s_crops, t_crops)
+    return float(np.mean(np.asarray(errs)))
 
-    @jax.jit
+
+_block_err_cache = {}
+
+
+def _block_err_fn(psz, strides, use_flat):
+    key = (psz, strides, use_flat)
+    if key in _block_err_cache:
+        return _block_err_cache[key]
+
     def block_err(s_crop, t_crop):
-        Xp = P.extract_patches_3d(s_crop, psz, strides)
-        Yp = P.extract_patches_3d(t_crop, psz, strides)
-        ntx, nh, nw = Xp.shape[:3]
-        nty = Yp.shape[0]
-        dim = int(np.prod(Xp.shape[3:]))
+        if use_flat:
+            Xp = P.extract_patches_flat(s_crop, psz, strides)
+            Yp = P.extract_patches_flat(t_crop, psz, strides)
+            ntx, nh, nw, dim = Xp.shape
+            nty = Yp.shape[0]
+        else:
+            Xp8 = P.extract_patches_3d(s_crop, psz, strides)
+            Yp8 = P.extract_patches_3d(t_crop, psz, strides)
+            ntx, nh, nw = Xp8.shape[:3]
+            dim = int(np.prod(Xp8.shape[3:]))
+            Xp = Xp8.reshape(ntx, nh, nw, dim)
+            Yp = Yp8.reshape(Yp8.shape[0], nh, nw, dim)
+            nty = Yp.shape[0]
         Xf = Xp.reshape(ntx, nh * nw, dim).transpose(1, 0, 2)
         Yf = Yp.reshape(nty, nh * nw, dim).transpose(1, 0, 2)
         nns = P.nn_indices(Xf, Yf, None)
         sel = jnp.take_along_axis(Yf, nns[..., None], axis=1)
         return jnp.mean(jnp.abs(sel - Xf))
 
-    dev = _cpu()
-    errs = []
-    for h0 in hs:
-        for w0 in ws:
-            s_crop = jax.device_put(
-                src[..., h0:h0 + macro, w0:w0 + macro], dev)
-            t_crop = jax.device_put(
-                tar[..., h0:h0 + macro, w0:w0 + macro], dev)
-            errs.append(float(block_err(s_crop, t_crop)))
-    return float(np.mean(errs))
+    fn = jax.jit(jax.vmap(block_err))
+    _block_err_cache[key] = fn
+    return fn
 
 
 def loop_quality(pred, gt, patch_size, stride, patcht_size, stridet,

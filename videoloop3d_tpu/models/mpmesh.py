@@ -305,9 +305,14 @@ class MPMesh:
         variables carries per-plane stacks for the regularizers.
         """
         cfg = self.cfg
-        if self.optimize_geometry and not self.is_sparse:
+        if self.optimize_geometry:
             # differentiable vertex-grid warp (ref MPI.py:452-536); the
-            # closed-form sweep is the verts == flat special case
+            # closed-form sweep is the verts == flat special case.  In
+            # the sparse phase the warped texel coords feed the SAME
+            # packed-tile lookup (the tile maps address the virtual
+            # plane, coordinate-source-agnostic) — parity with the
+            # reference, whose rasterizer keeps running on the culled
+            # quads (MPI.py:452-475).
             from videoloop3d_tpu.render import geo_warp as GW
             coords = GW.warp_coordinates_verts(
                 self.geom, params["verts"], extrins, intrins, h, w,
@@ -365,6 +370,7 @@ class MPMesh:
                 sample_coords)
             B = sample_coords.x.shape[0]
             if (cfg.fast_stage1_grad and training and B == 1
+                    and not self.optimize_geometry
                     and not (cfg.add_uv_noise and rng is not None)):
                 # (uv noise can push a sample into a neighboring tile
                 # whose adjoint pixel window may not cover it — mirror

@@ -175,11 +175,81 @@ def sharded_gpnn_lowmem(x_scaled, y, *, patch_size, patcht_size, stride,
     return jax.lax.psum(local_sum, "fp") / n_terms
 
 
+def sharded_swd(x_scaled, y, rng, *, patch_size, patcht_size, stride,
+                stridet, num_proj, fp_size, frm_num):
+    """Frame-sharded sliced-Wasserstein loss inside a shard_map worker.
+
+    Exact equivalence with losses.swd.swd_3d_loss (default branch): the
+    random projections are local convs over this shard's frames plus a
+    (patcht-1)-frame ring halo (the wrap IS the loop pad, same ring as
+    the gpnn halo), and because the per-location temporal SORT is
+    order-free, an all_gather of the projected columns over 'fp'
+    reconstructs the global distribution exactly.  Unlike the gpnn
+    halo, gradients DO flow through the ppermute (every temporal patch
+    gets gradient in the single-device loss, including ones straddling
+    shard boundaries) — ppermute/all_gather differentiate correctly
+    under shard_map.  x_scaled: (3, Fl, h, w) local frames (grads
+    flow); y: (3, Ty, h, w) replicated; rng replicated (same
+    projections on every shard).
+    """
+    assert stridet == 1
+    C, Fl, H, W = x_scaled.shape
+    pt = patcht_size
+    pad = pt - 1
+    S = fp_size
+    assert Fl * S == frm_num and Fl >= max(pad, 1)
+
+    x = x_scaled * 2 - 1
+    y = y * 2 - 1
+    if pad > 0:
+        # gradient-carrying halo: next shard's first pad frames; ring
+        # wrap (shard S-1 <- shard 0) = the loop-closure pad
+        perm = [((j + 1) % S, j) for j in range(S)]
+        halo = jax.lax.ppermute(x[:, :pad], "fp", perm)
+        x = jnp.concatenate([x, halo], axis=1)         # (3, Fl+pad, h, w)
+
+    rand = jax.random.normal(
+        rng, (num_proj, C, pt, patch_size, patch_size))
+    if num_proj > 1:
+        rand = rand / jnp.std(rand, axis=0, keepdims=True)
+    dn = jax.lax.conv_dimension_numbers(
+        (1,) + x.shape, rand.shape, ("NCDHW", "OIDHW", "NCDHW"))
+
+    def project(v):
+        out = jax.lax.conv_general_dilated(
+            v[None], rand, (stridet, stride, stride), "VALID",
+            dimension_numbers=dn)
+        _, Pn, cf, ch, cw = out.shape
+        return out.reshape(Pn, cf, ch * cw)
+
+    px = project(x)                                     # (P, Fl, chw)
+    # global temporal distribution: gather shards' cf columns (sort is
+    # order-invariant, so shard-major concat order is irrelevant)
+    gx = jax.lax.all_gather(px, "fp", axis=0)           # (S, P, Fl, chw)
+    Pn, chw = px.shape[0], px.shape[2]
+    projx = gx.transpose(1, 0, 2, 3).reshape(Pn, S * Fl, chw)
+    projy = project(y)                                  # (P, cfy, chw)
+
+    from videoloop3d_tpu.losses.swd import _match_lengths
+    projx = projx.transpose(0, 2, 1).reshape(-1, projx.shape[1])
+    projy = projy.transpose(0, 2, 1).reshape(-1, projy.shape[1])
+    projx, projy = _match_lengths(projx, projy, rng)
+    projx = jnp.sort(projx, axis=1)
+    projy = jnp.sort(projy, axis=1)
+    return jnp.mean(jnp.abs(projx - projy))
+
+
 def fp_supports(losscfg):
     """(ok, reason-if-not) — whether the fp (frame-sharded) step covers
     this loss config.  The trainer warns and falls back to dp when not."""
-    if losscfg.get("loss_name") not in ("gpnn_lm", "gpnn"):
-        return False, "fp sharding implements the gpnn loss family"
+    name = losscfg.get("loss_name")
+    if name == "swd":
+        if losscfg.get("stridet", 1) != 1:
+            return False, "fp swd requires stridet == 1"
+        return True, ""
+    if name not in ("gpnn_lm", "gpnn"):
+        return False, "fp sharding implements the gpnn + swd losses " \
+                      "(mse/avg are trivially cheap; run them dp-only)"
     if losscfg.get("stridet", 1) != 1:
         return False, "fp sharding requires stridet == 1"
     if losscfg.get("dist_fn", "mse") != "mse":
@@ -247,11 +317,20 @@ def make_fp_stage2_step(model, args, ph, pw, losscfg, mesh,
                 gain = common.scale_invariant_gain(res_avg, rgb_avg)
                 x = x * gain
             y = jnp.transpose(local["video"], (3, 0, 1, 2))
-            main = sharded_gpnn_lowmem(
-                x, y, patch_size=cfg["patch_size"], patcht_size=pt,
-                stride=cfg["stride"], alpha=alpha, rou=cfg["rou"],
-                scaling=cfg["scaling"], macro_block=cfg["macro_block"],
-                fp_size=S, frm_num=model.frm_num) * loss_gain
+            if loss_name == "swd":
+                main = sharded_swd(
+                    x, y, rng, patch_size=cfg["patch_size"],
+                    patcht_size=pt, stride=cfg["stride"],
+                    stridet=cfg["stridet"],
+                    num_proj=cfg.get("num_proj", 256),
+                    fp_size=S, frm_num=model.frm_num) * loss_gain
+            else:
+                main = sharded_gpnn_lowmem(
+                    x, y, patch_size=cfg["patch_size"], patcht_size=pt,
+                    stride=cfg["stride"], alpha=alpha, rou=cfg["rou"],
+                    scaling=cfg["scaling"],
+                    macro_block=cfg["macro_block"],
+                    fp_size=S, frm_num=model.frm_num) * loss_gain
 
             extra = local_model.training_extras(variables, loss_gain)
             extra = {k: jax.lax.pmean(v, "fp") for k, v in extra.items()}

@@ -52,6 +52,23 @@ def denormalize_verts(geom, verts, normalize):
     return (verts.reshape(D, -1) * depths[:, None]).reshape(verts.shape)
 
 
+def vertex_crossing_report(geom, verts, normalize=False):
+    """(max |dz|, half inter-plane gap) — the guard for the documented
+    validity bound of the global far->near plane order (module
+    docstring): two adjacent plane surfaces can cross once each may
+    deviate by half the gap, where the reference's z-buffered rasterizer
+    would start reordering fragments (MPI.py:452-475) and this module
+    would not.  Host-side; trainers warn when max|dz| > half-gap."""
+    import numpy as np
+    v = np.asarray(denormalize_verts(geom, jnp.asarray(verts), normalize))
+    D = geom.n_planes
+    depths = geom.depths_np()
+    vz = v.reshape(D, -1, 3)[..., 2]
+    dz = float(np.abs(vz - depths[:, None]).max())
+    half_gap = float(np.abs(np.diff(depths)).min()) / 2.0
+    return dz, half_gap
+
+
 def _bary(px, py, ax, ay, bx, by, cx, cy):
     """2-D barycentrics of (px,py) in triangle (a,b,c); sign-safe."""
     v0x, v0y = bx - ax, by - ay

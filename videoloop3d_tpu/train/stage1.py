@@ -383,14 +383,31 @@ def train(args, progress_cb=None):
 
         # vertex-geometry optimization event (ref MPI.py:152-156 gates on
         # step >= optimize_geo_start): re-specialize the step so the
-        # render goes through the differentiable vertex warp.  Dense
-        # phase only — after culling the packed-tile path keeps the flat
-        # grid (the reference's shipped configs never enable this).
-        if (not model.optimize_geometry and not model.is_sparse
+        # render goes through the differentiable vertex warp — in BOTH
+        # phases (sparse: the warped coords feed the packed-tile lookup,
+        # tests/test_geo_warp.py::test_sparse_phase_vertex_recovery)
+        if (not model.optimize_geometry
                 and epoch >= args.optimize_geo_start):
             print("[stage1] enabling vertex-geometry optimization")
             model.optimize_geometry = True
             step_fn, opt_init, weight_keys = build_step()
+
+        # vertex-crossing guard: the warp keeps the global far->near
+        # plane order, valid while every vertex stays within half the
+        # inter-plane gap (geo_warp.py docstring; the reference's
+        # z-buffer would reorder, we warn instead of paying a per-pixel
+        # depth sort)
+        if model.optimize_geometry and (epoch + 1) % args.i_weights == 0:
+            from videoloop3d_tpu.render.geo_warp import \
+                vertex_crossing_report
+            dz, half_gap = vertex_crossing_report(
+                model.geom, params["verts"], args.normalize_verts)
+            if dz > half_gap:
+                print(f"[stage1] WARNING: vertex depth deviation "
+                      f"{dz:.4f} exceeds half the inter-plane gap "
+                      f"{half_gap:.4f}; plane surfaces may cross and "
+                      f"the global composite order becomes invalid "
+                      f"(render/geo_warp.py validity bound)")
 
         # density-weight quadratic ramp (ref train_3d.py:292-293)
         pct = np.clip(epoch / (args.density_loss_epoch + 1), 0, 1)
