@@ -20,6 +20,12 @@ stop_gradient, matching the reference's no_grad block,
 utils_vid.py:322-348); only loss/metric psums and replicated-parameter
 gradient psums cross chips.
 
+The swd loss is also covered (sharded_swd): same halo ring (but
+gradient-carrying — every temporal patch gets gradient in swd) + an
+all_gather of the projected columns, exact because the per-location
+temporal sort is order-free.  mse/avg are trivially cheap and run
+dp-only (fp_supports).
+
 Constraints: stridet == 1 (every shipped config) and
 frm_num % fp_size == 0 with frm_num/fp >= patcht-1.
 """
