@@ -86,12 +86,16 @@ def hw_utilization(compiled, step_ms, info, model, batch):
         out["hbm_util_pct"] = round(100 * bts / t_s / V5E_PEAK_HBM_BPS, 2)
 
     # analytic descriptor count for the packed sparse samplers:
-    # per (plane, pixel): 2 corner-row gathers static (pair-packed rows)
-    # + 2 dynamic (quad-packed F*C rows); adjoint backward replays them.
+    # per sampled (layer, pixel): 2 corner-row gathers static
+    # (pair-packed rows) + 2 dynamic (quad-packed F*C rows); adjoint
+    # backward replays them.  Under --compact_hits the texel gathers run
+    # at the compacted slot volume; the tile-map lookup (1 paired
+    # descriptor per (plane, pixel)) always runs at the full volume.
     ph, pw = info["patch"]
     D = info["planes"]
-    samples = D * ph * pw
-    desc_fwd = samples * (2 + 2)
+    layers = info.get("slots") or D
+    samples = layers * ph * pw
+    desc_fwd = samples * (2 + 2) + D * ph * pw
     desc = desc_fwd * 2                       # + adjoint backward replay
     out["gather_desc_per_step"] = int(desc)
     out["desc_per_s"] = round(desc / t_s / 1e6, 1)   # Mdesc/s
@@ -198,12 +202,30 @@ def build_bench_setup(quick=False, fast_grad=False, no_remat=False):
     near, far = 2.0, 10.0
     model = MPMeshVid(args, H, W, ref_extrin, ref_intrin, near, far)
 
-    # synthesize a realistically sparse MTV: ~20% tiles kept, 30% dynamic
+    # synthesize a realistically sparse MTV: ~20% tiles kept, 30%
+    # dynamic.  Kept tiles concentrate in a band around a smooth
+    # per-column surface depth (like real alpha culling: the production
+    # soak keeps 6% of tiles at max 10 hit planes/pixel) plus iid
+    # stragglers — same kept fraction as the round-1/2 iid maps (the
+    # non-compacted step cost depends only on the counts), but with a
+    # production-like per-pixel hit profile for --compact.
     rng = np.random.default_rng(0)
     g = model.geom
     nth, ntw = g.n_tiles_h, g.n_tiles_w
     n_total = g.n_planes * nth * ntw
-    keep = rng.random(n_total) < 0.20
+    ii, jj = np.meshgrid(np.arange(nth), np.arange(ntw), indexing="ij")
+    depth0 = (g.n_planes / 2
+              + (g.n_planes / 3) * np.sin(ii / max(nth - 1, 1) * 3.0)
+              * np.cos(jj / max(ntw - 1, 1) * 2.2))
+    depth1 = (g.n_planes * 0.75
+              + (g.n_planes / 5) * np.cos(ii / max(nth - 1, 1) * 1.7
+                                          + jj / max(ntw - 1, 1) * 2.9))
+    plane = np.arange(g.n_planes)[:, None, None]
+    band = (np.abs(plane - depth0[None]) <= g.n_planes / 16.0) \
+        | (np.abs(plane - depth1[None]) <= g.n_planes / 32.0)
+    frac_band = band.mean()
+    p_extra = max(0.20 - frac_band, 0.0) / max(1e-9, 1.0 - frac_band)
+    keep = (band | (rng.random(band.shape) < p_extra)).reshape(-1)
     dyn = keep & (rng.random(n_total) < 0.30)
     static = keep & ~dyn
     th, tw = g.default_tile_texels()
@@ -303,6 +325,11 @@ def main():
                     help="bench with --fast_stage2_grad (per-tile "
                          "adjoint backward), ON like the shipped "
                          "configs; --no-fast_grad for the scatter path")
+    ap.add_argument("--compact", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="bench with --compact_hits (hit-compacted "
+                         "sparse sweep), ON like the shipped configs; "
+                         "--no-compact for the dense sweep")
     ap.add_argument("--no_remat", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="bench with --no_render_remat (keep render "
@@ -366,6 +393,14 @@ def main():
                           no_remat=opts.no_remat)
     if opts.bf16:
         model.gather_dtype = jnp.bfloat16
+    if opts.compact:
+        from videoloop3d_tpu.render.compact import slot_bound
+        S = slot_bound(model.geom, model.tile_map_static,
+                       model.tile_map_dyn, np.asarray(batch["extrin"]),
+                       np.asarray(batch["intrin"]), ph, pw)
+        if S < model.geom.n_planes:
+            model.compact_slots = S
+        info["slots"] = model.compact_slots
     if opts.verbose:
         print("setup:", info, file=sys.stderr)
         print("devices:", jax.devices(), file=sys.stderr)

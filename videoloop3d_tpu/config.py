@@ -137,6 +137,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "gradients: replaces the scatter-add backward "
                         "of the tile gathers with window slices + MXU "
                         "contractions (see render/adjoint.py)")
+    p.add_argument("--compact_hits", action="store_true",
+                   help="stage-2 hit-compaction: compact the sparse "
+                        "plane sweep to the per-pixel max-hit bound so "
+                        "gathers/decode/composite skip culled planes "
+                        "(exact; see render/compact.py)")
     p.add_argument("--patch_batch", type=int, default=1,
                    help="stage-1 patches optimized jointly per step "
                         "(amortizes per-step overhead on TPU; 1 = "

@@ -58,6 +58,9 @@ class MPMeshVid:
         # --fast_stage2_grad: per-tile adjoint samplers, built lazily per
         # geometry (the lod pyramid rescales tile spans); keyed by geom.
         self._adj_cache: dict = {}
+        # --compact_hits: static per-pixel hit bound S set by the trainer
+        # (render/compact.py:slot_bound); None disables compaction
+        self.compact_slots = None
 
     # ------------------------------------------------------------------
     # Dynamic-atlas layout: TILE-MAJOR with a trailing frame axis —
@@ -181,25 +184,28 @@ class MPMeshVid:
         return out
 
     # ------------------------------------------------------------------
-    def _adj_samplers(self):
+    def _adj_samplers(self, compacted=False):
         """Per-tile adjoint samplers for the current geometry (cached).
 
         See render/adjoint.py:make_tile_adjoint — the backward replaces
         the packed-tile scatter-add with per-tile window slices + MXU
-        weight contractions; exact (tests/test_adjoint.py)."""
+        weight contractions; exact (tests/test_adjoint.py).  With
+        ``compacted`` the hit-compacted variant is returned (forward
+        gathers at slot volume; same backward)."""
         from videoloop3d_tpu.render import adjoint as ADJ
         # key on the tile-map identities too: the samplers bake in
         # tile_positions(tile_map_*), so a reload/re-cull at the same
         # geometry must not serve stale packed-tile positions
-        key = (self.geom, id(self.tile_map_static), id(self.tile_map_dyn))
+        key = (self.geom, id(self.tile_map_static), id(self.tile_map_dyn),
+               compacted)
         if key not in self._adj_cache:
             win = ADJ.tile_window_for(self.geom, (self.H, self.W))
             span = self.geom.tile_span
+            make = ADJ.make_tile_adjoint_compacted if compacted \
+                else ADJ.make_tile_adjoint
             self._adj_cache[key] = (
-                ADJ.make_tile_adjoint(
-                    ADJ.tile_positions(self.tile_map_static), span, win),
-                ADJ.make_tile_adjoint(
-                    ADJ.tile_positions(self.tile_map_dyn), span, win))
+                make(ADJ.tile_positions(self.tile_map_static), span, win),
+                make(ADJ.tile_positions(self.tile_map_dyn), span, win))
         return self._adj_cache[key]
 
     def render(self, params, h, w, extrins, intrins, ts,
@@ -222,6 +228,7 @@ class MPMeshVid:
         act_rgb = ACTIVATIONS[cfg.rgb_activate]
         act_a = ACTIVATIONS[cfg.alpha_activate]
         valid0 = coords.valid[0]                       # (D, h, w)
+        compact = False                 # set by the sparse branch below
 
         view_dirs = None
         if cfg.rgb_mlp_type != "direct":
@@ -258,18 +265,47 @@ class MPMeshVid:
                 dyn = dyn[..., ts, :]                  # (Nd, th, tw, F, 4)
             th, tw = dyn.shape[1], dyn.shape[2]
             ths, tws = atlas_s.shape[1], atlas_s.shape[2]
+            # hit-compaction (render/compact.py): compact the plane axis
+            # to the static per-pixel hit bound S — gathers, decode and
+            # composite then run at (S, h, w) instead of (D, h, w)
+            # (training-only; the eval path keeps the dense sweep)
+            S = self.compact_slots
+            compact = (training and S is not None
+                       and S < self.geom.n_planes)
+            if compact:
+                from videoloop3d_tpu.render.compact import compact_sweep
+                cs = compact_sweep(k_s[0], k_d[0], fu[0], fv[0],
+                                   valid0, coords.zview[0], S)
+                valid0 = cs.valid                      # (S, h, w) now
             if cfg.fast_stage2_grad and training:
                 from videoloop3d_tpu.render import adjoint as ADJ
-                samp_s, samp_d = self._adj_samplers()
+                samp_s, samp_d = self._adj_samplers(compacted=compact)
                 M = ADJ.forward_projection(
                     jnp.asarray(self.geom.depths),
                     jnp.asarray(self.geom.ref_intrin_mpi),
                     extrins, intrins)[0]
-                vals_s0, hit_s0 = samp_s(
-                    atlas_s, k_s[0], fu[0] * (tws - 1), fv[0] * (ths - 1),
-                    M)
-                vals_d, hit_d = samp_d(
-                    dyn, k_d[0], fu[0] * (tw - 1), fv[0] * (th - 1), M)
+                if compact:
+                    vals_s0, hit_s0 = samp_s(
+                        atlas_s, cs.k_s, cs.fu * (tws - 1),
+                        cs.fv * (ths - 1), k_s[0], fu[0] * (tws - 1),
+                        fv[0] * (ths - 1), cs.onehot, M)
+                    vals_d, hit_d = samp_d(
+                        dyn, cs.k_d, cs.fu * (tw - 1), cs.fv * (th - 1),
+                        k_d[0], fu[0] * (tw - 1), fv[0] * (th - 1),
+                        cs.onehot, M)
+                else:
+                    vals_s0, hit_s0 = samp_s(
+                        atlas_s, k_s[0], fu[0] * (tws - 1),
+                        fv[0] * (ths - 1), M)
+                    vals_d, hit_d = samp_d(
+                        dyn, k_d[0], fu[0] * (tw - 1), fv[0] * (th - 1),
+                        M)
+            elif compact:
+                from videoloop3d_tpu.render.sample import bilinear_tiles
+                vals_s0, hit_s0 = bilinear_tiles(
+                    atlas_s, cs.k_s, cs.fu * (tws - 1), cs.fv * (ths - 1))
+                vals_d, hit_d = bilinear_tiles_tilemajor(
+                    dyn, cs.k_d, cs.fu * (tw - 1), cs.fv * (th - 1))
             else:
                 vals_s, hit_s = R.sample_sparse(atlas_s, k_s, fu, fv)
                 vals_s0, hit_s0 = vals_s[0], hit_s[0]
@@ -316,7 +352,9 @@ class MPMeshVid:
         disp = None
         if cfg.d_smooth_on:
             # stage 2 uses raw reciprocal depth (MPV.py:386)
-            z = jnp.where(valid0, coords.zview[0], 1.0)
+            zv0 = cs.zview if (self.is_sparse and compact) \
+                else coords.zview[0]
+            z = jnp.where(valid0, zv0, 1.0)
             d = jnp.where(valid0, 1.0 / z, 0.0)
             disp = jnp.sum(d[..., None] * bw, axis=0)  # both far-first
 
@@ -337,16 +375,26 @@ class MPMeshVid:
         stacks."""
         cfg = self.cfg
         extra = {}
-        a = variables["alpha_planes"]                  # (D, h, w, F)
+        a = variables["alpha_planes"]                  # (L, h, w, F)
+        # L = plane-axis length of the stacks: D on the dense sweep, the
+        # hit-compacted slot count S under --compact_hits.  The smooth
+        # regularizers renormalize by L/mpi_d exactly like the reference
+        # does on its truncated fragment stack (MPV.py:518, 524; the
+        # rasterizer truncates to the used layer count, utils.py:64-69)
+        denorm = a.shape[0] / self.geom.n_planes
         if cfg.sparsity_on:
+            # exact under compaction: the L1/L2 ratio ignores the
+            # dropped all-zero entries (ref MPI.py:603-607 normalizes by
+            # sqrt(mpi_d) regardless of the stack's layer count)
             extra["sparsity"] = regs.sparsity_loss(
                 a, self.geom.n_planes, eps=1e-4, plane_axis=0) * loss_gain
         if cfg.rgb_smooth_on:
             extra["rgb_smooth"] = regs.content_smooth_loss(
-                variables["rgb_planes"], h_axis=1, w_axis=2) * loss_gain
+                variables["rgb_planes"], h_axis=1, w_axis=2) \
+                * (loss_gain * denorm)
         if cfg.a_smooth_on:
             extra["a_smooth"] = regs.content_smooth_loss(
-                a[..., None], h_axis=1, w_axis=2) * loss_gain
+                a[..., None], h_axis=1, w_axis=2) * (loss_gain * denorm)
         if cfg.density_on:
             extra["density"] = regs.density_loss(variables["alpha"])
         if cfg.d_smooth_on and variables["disp"] is not None:

@@ -429,6 +429,68 @@ def tile_window_for(geom, image_hw, margin=2.0):
     return int(max(ext_y, ext_x) * margin) + 4
 
 
+def _packed_tile_grad(tile_pos, sy, sx, window, tiles_shape, tiles_dtype,
+                      k, u, v, M, ct):
+    """The per-tile adjoint gradient body, full (D, h, w) layout.
+
+    ct: (D, h, w, K) float32 cotangent rows.  Returns the packed
+    ``tiles_shape`` gradient.  Shared by the plain and hit-compacted
+    samplers (render/compact.py)."""
+    import numpy as np
+
+    hi = jax.lax.Precision.HIGHEST
+    N = tiles_shape[0]
+    th, tw = tiles_shape[1], tiles_shape[2]
+    K = int(np.prod(tiles_shape[3:]))
+    D, h, w = k.shape
+    ct = ct.reshape(D, h, w, K).astype(jnp.float32)
+    Wp = min(window, h, w)
+    if N == 0:
+        return jnp.zeros(tiles_shape, tiles_dtype)
+    pos = jnp.asarray(tile_pos)
+    gu = jnp.arange(tw, dtype=jnp.float32)
+    gv = jnp.arange(th, dtype=jnp.float32)
+    # tile-corner virtual coords (constant offsets per tile)
+    cox = jnp.array([0.0, 1.0, 0.0, 1.0], jnp.float32) * sx
+    coy = jnp.array([0.0, 0.0, 1.0, 1.0], jnp.float32) * sy
+
+    def per_tile(inp):
+        idx, p = inp
+        d, ti, tj = p[0], p[1], p[2]
+        Md = M[d]
+        qx = tj.astype(jnp.float32) * sx + cox      # (4,)
+        qy = ti.astype(jnp.float32) * sy + coy
+        den = Md[2, 0] * qx + Md[2, 1] * qy + Md[2, 2]
+        den = jnp.where(jnp.abs(den) < 1e-12, 1e-12, den)
+        px = (Md[0, 0] * qx + Md[0, 1] * qy + Md[0, 2]) / den
+        py = (Md[1, 0] * qx + Md[1, 1] * qy + Md[1, 2]) / den
+        px0 = jnp.clip(jnp.floor(jnp.min(px)).astype(jnp.int32) - 1,
+                       0, w - Wp)
+        py0 = jnp.clip(jnp.floor(jnp.min(py)).astype(jnp.int32) - 1,
+                       0, h - Wp)
+        ks = jax.lax.dynamic_slice(
+            k, (d, py0, px0), (1, Wp, Wp)).reshape(-1)
+        us = jax.lax.dynamic_slice(
+            u, (d, py0, px0), (1, Wp, Wp)).reshape(-1)
+        vs = jax.lax.dynamic_slice(
+            v, (d, py0, px0), (1, Wp, Wp)).reshape(-1)
+        cs = jax.lax.dynamic_slice(
+            ct, (d, py0, px0, 0), (1, Wp, Wp, K)).reshape(-1, K)
+        mine = (ks == idx)
+        uu = jnp.clip(us.astype(jnp.float32), 0.0, tw - 1.0)
+        vv = jnp.clip(vs.astype(jnp.float32), 0.0, th - 1.0)
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(uu[:, None] - gu[None]))
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(vv[:, None] - gv[None]))
+        wy = wy * mine[:, None]
+        tmp = jnp.einsum("ph,pk->phk", wy, cs, precision=hi)
+        return jnp.einsum("pw,phk->hwk", wx, tmp, precision=hi)
+
+    g = jax.lax.map(per_tile,
+                    (jnp.arange(N, dtype=jnp.int32), pos),
+                    batch_size=min(64, N))
+    return g.reshape(tiles_shape).astype(tiles_dtype)
+
+
 def make_tile_adjoint(tile_pos, spans, window):
     """Build a packed-tile sampler with the per-tile adjoint backward.
 
@@ -450,7 +512,6 @@ def make_tile_adjoint(tile_pos, spans, window):
 
     tile_pos = np.asarray(tile_pos, np.int32)
     sy, sx = float(spans[0]), float(spans[1])
-    hi = jax.lax.Precision.HIGHEST
 
     @jax.custom_vjp
     def sample(tiles, k, u, v, M):
@@ -465,63 +526,62 @@ def make_tile_adjoint(tile_pos, spans, window):
 
     def bwd(res, cts):
         tiles_shape, dtok, k, u, v, M = res
-        tiles_dtype = dtok.dtype
-        ct = cts[0]                              # value cotangent
-        N = tiles_shape[0]
-        th, tw = tiles_shape[1], tiles_shape[2]
-        K = int(np.prod(tiles_shape[3:]))
-        D, h, w = k.shape
-        ct = ct.reshape(D, h, w, K).astype(jnp.float32)
-        Wp = min(window, h, w)
-        if N == 0:
-            g = jnp.zeros(tiles_shape, tiles_dtype)
-        else:
-            pos = jnp.asarray(tile_pos)
-            gu = jnp.arange(tw, dtype=jnp.float32)
-            gv = jnp.arange(th, dtype=jnp.float32)
-            # tile-corner virtual coords (constant offsets per tile)
-            cox = jnp.array([0.0, 1.0, 0.0, 1.0], jnp.float32) * sx
-            coy = jnp.array([0.0, 0.0, 1.0, 1.0], jnp.float32) * sy
-
-            def per_tile(inp):
-                idx, p = inp
-                d, ti, tj = p[0], p[1], p[2]
-                Md = M[d]
-                qx = tj.astype(jnp.float32) * sx + cox      # (4,)
-                qy = ti.astype(jnp.float32) * sy + coy
-                den = Md[2, 0] * qx + Md[2, 1] * qy + Md[2, 2]
-                den = jnp.where(jnp.abs(den) < 1e-12, 1e-12, den)
-                px = (Md[0, 0] * qx + Md[0, 1] * qy + Md[0, 2]) / den
-                py = (Md[1, 0] * qx + Md[1, 1] * qy + Md[1, 2]) / den
-                px0 = jnp.clip(jnp.floor(jnp.min(px)).astype(jnp.int32) - 1,
-                               0, w - Wp)
-                py0 = jnp.clip(jnp.floor(jnp.min(py)).astype(jnp.int32) - 1,
-                               0, h - Wp)
-                ks = jax.lax.dynamic_slice(
-                    k, (d, py0, px0), (1, Wp, Wp)).reshape(-1)
-                us = jax.lax.dynamic_slice(
-                    u, (d, py0, px0), (1, Wp, Wp)).reshape(-1)
-                vs = jax.lax.dynamic_slice(
-                    v, (d, py0, px0), (1, Wp, Wp)).reshape(-1)
-                cs = jax.lax.dynamic_slice(
-                    ct, (d, py0, px0, 0), (1, Wp, Wp, K)).reshape(-1, K)
-                mine = (ks == idx)
-                uu = jnp.clip(us.astype(jnp.float32), 0.0, tw - 1.0)
-                vv = jnp.clip(vs.astype(jnp.float32), 0.0, th - 1.0)
-                wx = jnp.maximum(0.0, 1.0 - jnp.abs(uu[:, None] - gu[None]))
-                wy = jnp.maximum(0.0, 1.0 - jnp.abs(vv[:, None] - gv[None]))
-                wy = wy * mine[:, None]
-                tmp = jnp.einsum("ph,pk->phk", wy, cs, precision=hi)
-                return jnp.einsum("pw,phk->hwk", wx, tmp, precision=hi)
-
-            g = jax.lax.map(per_tile,
-                            (jnp.arange(N, dtype=jnp.int32), pos),
-                            batch_size=min(64, N))
-            g = g.reshape(tiles_shape).astype(tiles_dtype)
+        g = _packed_tile_grad(tile_pos, sy, sx, window, tiles_shape,
+                              dtok.dtype, k, u, v, M,
+                              cts[0].astype(jnp.float32))
         f0 = jax.dtypes.float0
         zk = np.zeros(k.shape, f0)
         return (g, zk, jnp.zeros_like(u), jnp.zeros_like(v),
                 jnp.zeros_like(M))
+
+    sample.defvjp(fwd, bwd)
+    return sample
+
+
+def make_tile_adjoint_compacted(tile_pos, spans, window):
+    """Hit-compacted variant of `make_tile_adjoint`.
+
+    Returns ``f(tiles, k_c, u_c, v_c, k, u, v, oh, M) -> (values, hit)``
+    where the ``_c`` arrays are the (S, h, w) slot-compacted sample
+    coords (render/compact.py:compact_sweep) and ``k, u, v`` the full
+    (D, h, w) ones.  Forward gathers at slot volume (the whole point);
+    the backward expands the slot cotangent to the plane layout with the
+    saved one-hot (exact transpose of the selection) and reuses the
+    full-layout per-tile gradient body — same windows, same weights,
+    same result as the uncompacted sampler.
+    """
+    import numpy as np
+
+    from videoloop3d_tpu.render.sample import (bilinear_tiles,
+                                               bilinear_tiles_tilemajor)
+
+    tile_pos = np.asarray(tile_pos, np.int32)
+    sy, sx = float(spans[0]), float(spans[1])
+
+    @jax.custom_vjp
+    def sample(tiles, k_c, u_c, v_c, k, u, v, oh, M):
+        if tiles.ndim == 5:
+            return bilinear_tiles_tilemajor(tiles, k_c, u_c, v_c)
+        return bilinear_tiles(tiles, k_c, u_c, v_c)
+
+    def fwd(tiles, k_c, u_c, v_c, k, u, v, oh, M):
+        out = sample(tiles, k_c, u_c, v_c, k, u, v, oh, M)
+        dtok = jnp.zeros((), tiles.dtype)
+        return out, (tiles.shape, dtok, k, u, v, oh, M)
+
+    def bwd(res, cts):
+        from videoloop3d_tpu.render.compact import expand_cotangent
+        tiles_shape, dtok, k, u, v, oh, M = res
+        ct_full = expand_cotangent(oh, cts[0].astype(jnp.float32))
+        g = _packed_tile_grad(tile_pos, sy, sx, window, tiles_shape,
+                              dtok.dtype, k, u, v, M, ct_full)
+        f0 = jax.dtypes.float0
+        S = oh.shape[0]
+        zk_c = np.zeros((S,) + k.shape[1:], f0)
+        zk = np.zeros(k.shape, f0)
+        zeros = jnp.zeros_like
+        return (g, zk_c, zeros(u)[:S], zeros(v)[:S], zk, zeros(u),
+                zeros(v), zeros(oh), zeros(M))
 
     sample.defvjp(fwd, bwd)
     return sample

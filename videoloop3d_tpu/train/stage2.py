@@ -500,6 +500,23 @@ def train(args, progress_cb=None):
             (args.patch_h_stride, args.patch_w_stride), poses, intrins,
             loss_cfgs)
         ph, pw = dataset.patch_size
+        # hit-compaction bound for this level: patches are integer crops
+        # of the (padded) level pixel grid, so the per-view full-grid
+        # max (with the intrinsic-jitter margin baked into slot_bound)
+        # bounds every training patch
+        model.compact_slots = None
+        if getattr(args, "compact_hits", False) and model.is_sparse:
+            from videoloop3d_tpu.render.compact import slot_bound
+            S = slot_bound(
+                model.geom, model.tile_map_static, model.tile_map_dyn,
+                cameras.pose_to_extrinsic(dataset.poses),
+                dataset.intrins,
+                dataset.h + dataset.pad[0], dataset.w + dataset.pad[1])
+            if S < model.geom.n_planes:
+                model.compact_slots = S
+            print(f"[stage2] l{pyr_i} hit-compaction: "
+                  f"S={S} of D={model.geom.n_planes}"
+                  + ("" if model.compact_slots else " (no win; off)"))
         # the level's padded videos live on device ONCE; per-step
         # batches carry only (view, origin) and the step crops on device
         # (each host->device upload pins host memory on axon, see
