@@ -15,14 +15,14 @@ from videoloop3d_tpu.render.compact import (compact_sweep,
                                             expand_cotangent, slot_bound)
 
 
-def _build(fast, seed=5, keep_s=0.1, keep_d=0.08, d=10):
+def _build(fast, seed=5, keep_s=0.1, keep_d=0.08, d=10, frm=5):
     h, w = 24, 32
     intrin = np.array([[30.0, 0, w / 2], [0, 30.0, h / 2], [0, 0, 1]],
                       np.float32)
     argv = ["--datadir", "x", "--expname", "x",
             "--mpi_h_scale", "1.2", "--mpi_w_scale", "1.2",
             "--mpi_h_verts", "4", "--mpi_w_verts", "5",
-            "--mpi_d", str(d), "--mpv_frm_num", "5", "--mpv_isloop"]
+            "--mpi_d", str(d), "--mpv_frm_num", str(frm), "--mpv_isloop"]
     if fast:
         argv.append("--fast_stage2_grad")
     args = parse_args_with_configs(argv)
@@ -188,6 +188,83 @@ def test_expand_cotangent_transpose():
     ref = np.einsum("sdp,spk->dpk", oh, ct.reshape(S, -1, K)).reshape(
         D, h, w, K)
     assert np.allclose(full, ref, atol=1e-6)
+
+
+def test_compact_under_dp_and_fp_mesh():
+    """Compaction composes with the mesh paths: the dp- and fp-sharded
+    steps on a compacted sparse model match the single-device compacted
+    step (SGD: update linear in the gradient)."""
+    import jax  # noqa: F811 (explicit for clarity)
+    from videoloop3d_tpu.parallel.mesh import make_mesh
+    from videoloop3d_tpu.parallel.dp_step import make_dp_stage2_step
+    from videoloop3d_tpu.parallel.fp_step import make_fp_stage2_step
+    from videoloop3d_tpu.train.stage2 import make_stage2_step
+    from tests.test_parallel import LOSSCFG
+
+    rng_np = np.random.default_rng(7)
+    model, ns, nd, intrin, (h, w) = _build(True, frm=8)
+    from videoloop3d_tpu.config import parse_args_with_configs as _parse
+    args = _parse(["--datadir", "x", "--expname", "x",
+                   "--mpi_h_scale", "1.2", "--mpi_w_scale", "1.2",
+                   "--mpi_h_verts", "4", "--mpi_w_verts", "5",
+                   "--mpi_d", "10", "--mpv_frm_num", "8", "--mpv_isloop",
+                   "--fast_stage2_grad", "--optimizer", "sgd"])
+    th, tw = model.tile_hw
+    params = {
+        "atlas": jnp.asarray(rng_np.standard_normal(
+            (ns, th, tw, 4)).astype(np.float32) * 0.1),
+        "atlas_dyn": jnp.asarray(rng_np.standard_normal(
+            (nd, th, tw, 8, 4)).astype(np.float32) * 0.1),
+    }
+    ext, intr = _view(intrin)
+    S = slot_bound(model.geom, model.tile_map_static, model.tile_map_dyn,
+                   np.asarray(ext), np.asarray(intr), h, w)
+    assert S < model.geom.n_planes
+    model.compact_slots = S
+
+    vids = rng_np.random((8, h, w, 3)).astype(np.float32)
+    weights = {k: jnp.asarray(0.2, jnp.float32)
+               for k in ("sparsity", "rgb_smooth", "a_smooth", "d_smooth",
+                         "density")}
+    rng = jax.random.PRNGKey(0)
+
+    single_step, s_init = make_stage2_step(model, args, h, w, LOSSCFG)
+    p_s, _, m_s = single_step(
+        jax.tree.map(jnp.copy, params), s_init(params),
+        {"extrin": ext, "intrin": intr, "video": jnp.asarray(vids)},
+        jnp.asarray(0.1), weights, rng)
+
+    # dp=2: identical rows -> pmean(grad) == grad
+    mesh = make_mesh(n_dp=2, n_fp=1)
+    bat2 = {"extrin": jnp.concatenate([ext, ext]),
+            "intrin": jnp.concatenate([intr, intr]),
+            "video": jnp.asarray(np.stack([vids, vids]))}
+    dp_step, dp_init = make_dp_stage2_step(model, args, h, w, LOSSCFG,
+                                           mesh)
+    p_dp, _, m_dp = dp_step(
+        jax.tree.map(jnp.copy, params), dp_init(params), bat2,
+        jnp.asarray(0.1), weights, rng)
+    assert np.isclose(float(m_dp["loss"]), float(m_s["loss"]), rtol=1e-4)
+
+    # fp=4 over the 8-frame axis
+    mesh = make_mesh(n_dp=1, n_fp=4)
+    fp_step, fp_init = make_fp_stage2_step(
+        model, args, h, w, LOSSCFG, mesh, param_keys=tuple(params))
+    p_fp, _, m_fp = fp_step(
+        jax.tree.map(jnp.copy, params), fp_init(params),
+        {"extrin": ext, "intrin": intr,
+         "video": jnp.asarray(vids)[None]},
+        jnp.asarray(0.1), weights, rng)
+    assert np.isclose(float(m_fp["loss"]), float(m_s["loss"]),
+                      rtol=2e-4), (float(m_fp["loss"]), float(m_s["loss"]))
+
+    for name, p in (("dp", p_dp), ("fp", p_fp)):
+        for k in params:
+            a, b = np.asarray(p[k]), np.asarray(p_s[k])
+            if a.size == 0:
+                continue
+            assert np.allclose(a, b, atol=3e-4), \
+                (name, k, np.abs(a - b).max())
 
 
 def test_slot_bound_covers_true_max():
