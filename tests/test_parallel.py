@@ -224,6 +224,37 @@ def test_stage1_trainer_dp_mesh(tmp_path):
     assert model.is_sparse                       # culling event ran on dp
 
 
+def test_stage1_trainer_shard_views_matches_plain(tmp_path):
+    """Single-process --shard_views (sharded image stacks + local view
+    indices + sharded batching) must reproduce the plain dp=4 trainer
+    exactly: nproc=1 makes the sharded feed the same chunks in the same
+    order, so params trajectories coincide."""
+    from tests.test_stage1 import _debug_args
+    from videoloop3d_tpu.train import stage1
+    scene = synthetic.make_scene(n_views=4, h=24, w=32, n_frames=4,
+                                 seed=0)
+    scene_dir = str(tmp_path / "scene")
+    synthetic.write_llff_dir(scene, scene_dir, factor=1)
+
+    runs = {}
+    for name, over in (("plain", {}), ("sv", {"shard_views": None})):
+        args = _debug_args(tmp_path, scene_dir, mesh_devices="4",
+                           N_iters="3", i_weights="100",
+                           expname=f"s1{name}", **over)
+        losses = []
+        _, params, _ = stage1.train(
+            args, progress_cb=lambda e, m: losses.append(
+                float(m["loss"]) if m else np.nan))
+        runs[name] = (losses, params)
+
+    la, pa = runs["plain"]
+    lb, pb = runs["sv"]
+    assert np.allclose(la, lb, rtol=1e-6), (la, lb)
+    for k in pa:
+        assert np.allclose(np.asarray(pa[k]), np.asarray(pb[k]),
+                           atol=1e-6), k
+
+
 def test_dp_step_distinct_patches_trains():
     """Distinct patches per device: one step must run and reduce loss
     over a few iterations."""

@@ -28,7 +28,10 @@ def _debug_args(tmp_path, scene_dir, **over):
         "--mesh_devices", "1",   # dp path covered by test_parallel.py
     ]
     for k, v in over.items():
-        argv += [f"--{k}", str(v)]
+        if v is None:                     # bare flag (store_true)
+            argv += [f"--{k}"]
+        else:
+            argv += [f"--{k}", str(v)]
     return parse_args_with_configs(argv)
 
 

@@ -190,8 +190,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--shard_views", action="store_true",
                    help="multi-host per-process data loading: each "
                         "process decodes/uploads only the views its dp "
-                        "rows train on (stage 2; requires every process "
-                        "to own >= 1 train view)")
+                        "rows train on (both stages; requires every "
+                        "process to own >= 1 train view)")
     # multi-host (one process per host; see parallel/distributed.py)
     p.add_argument("--coordinator_address", type=str, default="",
                    help="host:port of process 0 for "

@@ -80,12 +80,19 @@ class ImagePatchDataset(PatchSampler):
 
     def __init__(self, hw, videos, patch_size, patch_stride, poses, intrins,
                  mode="average"):
-        raw_hw = videos[0].shape[1:3]
+        # None entries = views whose pixels live on another process
+        # (multi-host per-process loading, --shard_views); geometry is
+        # still built for them, only images/masks are absent.
+        raw_hw = next(v for v in videos if v is not None).shape[1:3]
         super().__init__(hw, len(videos), patch_size, patch_stride, poses,
                          intrins, raw_hw)
         self.images = []
         self.masks = []
         for vid in videos:
+            if vid is None:
+                self.images.append(None)
+                self.masks.append(None)
+                continue
             vid = video_io.resize_video(vid, self.h, self.w)
             vidf = vid.astype(np.float32) / 255.0
             img = video_io.collapse_video(vidf, mode)
@@ -98,17 +105,20 @@ class ImagePatchDataset(PatchSampler):
 
     def __getitem__(self, item):
         w0, h0, vi, pose, intrin = self.item_geometry(item)
-        ph, pw = self.patch_size
-        img = self.images[vi][h0:h0 + ph, w0:w0 + pw]
-        mask = self.masks[vi][h0:h0 + ph, w0:w0 + pw]
-        return {
+        out = {
             "wh_start": (w0, h0),
             "view": vi,
             "pose": pose,
             "intrin": intrin,
-            "rgb": img,          # (ph, pw, 3)
-            "loopmask": mask,    # (ph, pw)
         }
+        # rgb/loopmask crops are for tests/bench; the trainer crops on
+        # device from the run-resident stacks.  Foreign views under
+        # --shard_views (images[vi] is None) yield metadata only.
+        if self.images[vi] is not None:
+            ph, pw = self.patch_size
+            out["rgb"] = self.images[vi][h0:h0 + ph, w0:w0 + pw]
+            out["loopmask"] = self.masks[vi][h0:h0 + ph, w0:w0 + pw]
+        return out
 
 
 class VideoPatchDataset(PatchSampler):

@@ -200,8 +200,10 @@ def build_sharded_video_stack(mesh, owner, train_view, videos_local,
         pad = np.repeat(stack[-1:], v_max - len(mine), axis=0)
         stack = np.concatenate([stack, pad])
     # dtype decision must be GLOBALLY deterministic (all shards of one
-    # array share a dtype): use the padded global per-row size
-    if stack.size * 4 <= dtype_threshold_bytes:
+    # array share a dtype): use the padded global per-row size.  Only
+    # uint8 pixel stacks get the /255 float conversion — stage-1 image/
+    # mask stacks arrive as float already
+    if stack.dtype == np.uint8 and stack.size * 4 <= dtype_threshold_bytes:
         stack = stack.astype(np.float32) / 255.0
     g_shape = (n_dp,) + stack.shape
     sh = NamedSharding(mesh, P("dp"))

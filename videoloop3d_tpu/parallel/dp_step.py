@@ -32,10 +32,14 @@ BATCH_KEY_SPECS = {"extrin": P("dp"), "intrin": P("dp"),
                    "view": P("dp"), "h0": P("dp"), "w0": P("dp")}
 
 # stage-1 batches: run-resident image/mask stacks replicated, everything
-# else sharded over dp
+# else sharded over dp.  '*_sharded' / 'wt' mirror the stage-2 keys:
+# per-process image stacks over dp rows + weight-0 filler rows for
+# --shard_views (see train/stage1.py)
 STAGE1_BATCH_KEY_SPECS = {"extrin": P("dp"), "intrin": P("dp"),
                           "rgb": P("dp"), "loopmask": P("dp"),
                           "images": P(), "masks": P(),
+                          "images_sharded": P("dp"),
+                          "masks_sharded": P("dp"), "wt": P("dp"),
                           "view": P("dp"), "h0": P("dp"), "w0": P("dp")}
 
 
@@ -57,13 +61,29 @@ def make_dp_stage1_step(model, args, ph, pw, mesh):
     loss_fn = make_stage1_loss_fn(model, args, ph, pw)
 
     def sharded_step(params, opt_state, batch, lr, weights, rng):
-        local = resolve_image_batch(batch, ph, pw)
+        b = batch
+        if "images_sharded" in b:
+            # per-process stacks: this row's shard holds its process's
+            # views; batch["view"] carries process-local indices
+            b = dict(b)
+            b["images"] = b.pop("images_sharded")[0]
+            b["masks"] = b.pop("masks_sharded")[0]
+        local = resolve_image_batch(b, ph, pw)
+        local.pop("wt", None)
         my_rng = jax.random.fold_in(rng, jax.lax.axis_index("dp"))
         grads, metrics = jax.grad(
             lambda p: loss_fn(p, local, weights, my_rng),
             has_aux=True)(params)
-        grads = jax.lax.pmean(grads, "dp")
-        metrics = jax.lax.pmean(metrics, "dp")
+        if "wt" in batch:
+            w = batch["wt"][0]
+            denom = jax.lax.psum(w, "dp")
+            grads = jax.tree.map(
+                lambda g: jax.lax.psum(g * w, "dp") / denom, grads)
+            metrics = jax.tree.map(
+                lambda m: jax.lax.psum(m * w, "dp") / denom, metrics)
+        else:
+            grads = jax.lax.pmean(grads, "dp")
+            metrics = jax.lax.pmean(metrics, "dp")
         lr_tree = opt_lib.build_lr_tree(params, lr, group_fn)
         new_params, new_opt = opt_update(params, grads, opt_state, lr_tree)
         return new_params, new_opt, metrics

@@ -27,7 +27,8 @@ def main(argv=None):
     ap.add_argument("--num_processes", type=int, default=2)
     ap.add_argument("--port", type=int, default=29531)
     ap.add_argument("--local_devices", type=int, default=2)
-    ap.add_argument("--mode", choices=["step", "shard_views"],
+    ap.add_argument("--mode",
+                    choices=["step", "shard_views", "stage1_sv"],
                     default="step")
     opts = ap.parse_args(argv)
 
@@ -48,6 +49,8 @@ def main(argv=None):
 
     if opts.mode == "shard_views":
         return run_shard_views(opts)
+    if opts.mode == "stage1_sv":
+        return run_stage1_shard_views(opts)
 
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
@@ -186,6 +189,65 @@ def run_shard_views(opts):
     host_bytes = sum(b for _, b in decoded)
     assert losses and np.isfinite(losses[-1])
     print(f"MULTIHOST_SV_OK process={jax.process_index()} "
+          f"views={','.join(map(str, my_views))} "
+          f"host_bytes={host_bytes} loss={losses[-1]:.6f}", flush=True)
+
+
+def run_stage1_shard_views(opts):
+    """The REAL stage-1 trainer with --shard_views across 2 coordinated
+    processes: per-process video decode (vid2img + loop mask computed
+    only for owned views), image stacks sharded over dp rows, weight-0
+    filler rows for uneven patch counts.  The launcher cross-checks
+    disjoint decode sets and equal losses."""
+    import tempfile
+
+    import jax
+    import numpy as np
+
+    from videoloop3d_tpu.config import parse_args_with_configs
+    from videoloop3d_tpu.data import synthetic, video as video_io
+    from videoloop3d_tpu.train import stage1
+
+    scene_dir = os.path.join(tempfile.gettempdir(),
+                             f"s1sv_dryrun_p{jax.process_index()}", "scene")
+    if not os.path.exists(os.path.join(scene_dir, "poses_bounds.npy")):
+        scene = synthetic.make_scene(n_views=4, h=24, w=32, n_frames=4,
+                                     seed=0)
+        synthetic.write_llff_dir(scene, scene_dir, factor=1)
+
+    decoded = []
+    orig_read = video_io.read_video
+
+    def counting_read(path):
+        arr = orig_read(path)
+        decoded.append((os.path.basename(path), arr.nbytes))
+        return arr
+
+    video_io.read_video = counting_read
+    root = os.path.dirname(scene_dir)
+    argv = ["--datadir", scene_dir, "--expdir", os.path.join(root, "mpi"),
+            "--expname", "s1sv", "--factor", "1",
+            "--mpi_h_scale", "1.2", "--mpi_w_scale", "1.2",
+            "--mpi_h_verts", "5", "--mpi_w_verts", "7",
+            "--mpi_d", "4", "--atlas_grid_h", "2",
+            "--patch_h_size", "24", "--patch_w_size", "32",
+            "--patch_h_stride", "16", "--patch_w_stride", "24",
+            "--lrate", "0.1", "--N_iters", "2",
+            "--scale_invariant", "--learn_loop_mask",
+            "--i_weights", "1000", "--i_video", "1000", "--i_img", "100",
+            "--i_print", "1000", "--seed", "1",
+            "--shard_views", "--disable_auto_resume"]
+    losses = []
+    stage1.train(parse_args_with_configs(argv),
+                 progress_cb=lambda e, m: losses.append(float(m["loss"])))
+
+    n_views = 4
+    nproc = jax.process_count()
+    assert len(decoded) == n_views // nproc, decoded
+    my_views = sorted(int(os.path.splitext(n)[0]) for n, _ in decoded)
+    host_bytes = sum(b for _, b in decoded)
+    assert losses and np.isfinite(losses[-1])
+    print(f"MULTIHOST_S1SV_OK process={jax.process_index()} "
           f"views={','.join(map(str, my_views))} "
           f"host_bytes={host_bytes} loss={losses[-1]:.6f}", flush=True)
 

@@ -223,9 +223,31 @@ def train(args, progress_cb=None):
     expdir = os.path.join(args.prefix, args.expdir)
     rundir = os.path.join(expdir, expname)
 
+    # multi-host per-process data loading (mirrors train/stage2.py):
+    # decide view ownership BEFORE decoding so each process reads only
+    # its dp rows' views (stage 1 has one loss config, so ownership is a
+    # plain round-robin over all views)
+    shard_views = bool(getattr(args, "shard_views", False))
+    owner = None
+    load_views = None
+    if shard_views:
+        from videoloop3d_tpu.parallel import distributed as dist0
+        if max(int(getattr(args, "patch_batch", 1)), 1) > 1:
+            raise ValueError("--shard_views with stage-1 --patch_batch>1 "
+                             "is not supported (per-row weight masking "
+                             "is one patch per dp row)")
+        V_all = llff.count_views(datadir, args.factor)
+        owner = dist0.partition_views(list(range(V_all)), [],
+                                      jax.process_count())
+        load_views = {v for v, p in owner.items()
+                      if p == jax.process_index()}
+        print(f"[stage1] --shard_views: this process decodes views "
+              f"{sorted(load_views)} of {V_all}")
+
     videos, fps, scene = llff.load_mv_videos(
         basedir=datadir, factor=args.factor,
-        bd_factor=(args.near_factor, args.far_factor), recenter=True)
+        bd_factor=(args.near_factor, args.far_factor), recenter=True,
+        load_views=load_views)
     H, W = scene["hw"]
     poses, intrins, bds = scene["poses"], scene["intrins"], scene["bds"]
 
@@ -283,6 +305,8 @@ def train(args, progress_cb=None):
     if dist.is_primary():
         for vi, (img, mask) in enumerate(zip(dataset.images,
                                              dataset.masks)):
+            if img is None:        # foreign view under --shard_views
+                continue
             p = os.path.join(rundir, f"imgvis_{args.vid2img_mode}")
             os.makedirs(p, exist_ok=True)
             write_image(os.path.join(p, f"{vi:04d}.png"), to8b(img))
@@ -308,7 +332,17 @@ def train(args, progress_cb=None):
     # device — uploads pin host memory on the axon client).  Under a
     # mesh they are placed as global replicated arrays (a process-local
     # jnp.asarray would fail the first sharded step in multi-host runs).
-    if mesh is not None:
+    local_index = None
+    if shard_views and mesh is not None:
+        # per-process stacks sharded over dp rows: each device holds
+        # only ITS process's views; 'view' batch indices become
+        # process-local (same scheme as stage-2's video stacks)
+        images_dev, local_index = dist.build_sharded_video_stack(
+            mesh, owner, list(range(len(dataset.images))),
+            dataset.images)
+        masks_dev, _ = dist.build_sharded_video_stack(
+            mesh, owner, list(range(len(dataset.masks))), dataset.masks)
+    elif mesh is not None:
         from jax.sharding import PartitionSpec as P
         placed = dist.commit_batch(
             mesh, {"images": P(), "masks": P()},
@@ -416,11 +450,40 @@ def train(args, progress_cb=None):
         weights_dev = {k: jnp.asarray(v, jnp.float32)
                        for k, v in weights.items()}
 
-        for item in dataset.iter_epoch(np_rng, shuffle=True):
-            pending.append(item)
-            if len(pending) < bsz:
-                continue
-            chunk, pending = pending, []
+        if shard_views and mesh is not None:
+            # dp rows are process-major; each row may only train views
+            # its PROCESS owns (its image-stack shard holds only those).
+            # Rows that run out of items get weight-0 filler (zero
+            # gradient via the masked psum in dp_step) — every patch is
+            # trained exactly once per epoch, like stage-2's
+            # _batched_items_sharded.
+            nproc = jax.process_count()
+            rows_pp = mesh.shape["dp"] // nproc
+            queues = [[] for _ in range(nproc)]
+            for item in dataset.iter_epoch(np_rng, shuffle=True):
+                queues[owner[item["view"]]].append(item)
+            n_b = max(-(-len(q) // rows_pp) for q in queues if q)
+            feed = []
+            for b in range(n_b):
+                chunk, wts = [], []
+                for p in range(nproc):
+                    rows = queues[p][b * rows_pp:(b + 1) * rows_pp]
+                    for r in range(rows_pp):
+                        if r < len(rows):
+                            chunk.append(rows[r])
+                            wts.append(1.0)
+                        else:
+                            chunk.append(queues[p][0])
+                            wts.append(0.0)
+                feed.append((chunk, np.asarray(wts, np.float32)))
+        else:
+            feed = []
+            for item in dataset.iter_epoch(np_rng, shuffle=True):
+                pending.append(item)
+                if len(pending) >= bsz:
+                    feed.append((pending, None))
+                    pending = []
+        for chunk, wts in feed:
             lr = opt_lib.lr_schedule(total_step, args.lrate,
                                      decay_steps_k=args.lrate_decay)
             exts, intrs, views, h0s, w0s = [], [], [], [], []
@@ -430,19 +493,26 @@ def train(args, progress_cb=None):
                     intrin = common.jitter_intrinsic(intrin, np_rng)
                 exts.append(cameras.pose_to_extrinsic(it["pose"]))
                 intrs.append(intrin)
-                views.append(it["view"])
+                views.append(it["view"] if local_index is None
+                             else local_index[it["view"]])
                 w0, h0 = it["wh_start"]
                 h0s.append(h0)
                 w0s.append(w0)
             batch = {
                 "extrin": np.stack(exts).astype(np.float32),
                 "intrin": np.stack(intrs).astype(np.float32),
-                "images": images_dev,
-                "masks": masks_dev,
                 "view": np.asarray(views, np.int32),
                 "h0": np.asarray(h0s, np.int32),
                 "w0": np.asarray(w0s, np.int32),
             }
+            if local_index is not None:
+                batch["images_sharded"] = images_dev
+                batch["masks_sharded"] = masks_dev
+                if wts is not None:
+                    batch["wt"] = wts
+            else:
+                batch["images"] = images_dev
+                batch["masks"] = masks_dev
             if mesh is None:
                 batch = {k: jnp.asarray(v) for k, v in batch.items()}
             else:
