@@ -108,6 +108,8 @@ def main():
         "seed4":  ["--mesh_devices", "1", "--seed", "4"],
         "seed5":  ["--mesh_devices", "1", "--seed", "5"],
         "dp4":    ["--mesh_devices", "4", "--mesh_fp", "1"],
+        "dp4_nb": ["--mesh_devices", "4", "--mesh_fp", "1",
+                   "--dp_serial_below", "0"],
         "fp4":    ["--mesh_devices", "4", "--mesh_fp", "4"],
         "bf16":   ["--mesh_devices", "1", "--fp16"],
     }
@@ -119,13 +121,26 @@ def main():
     # per-level final swd loss (the optimization target) per run
     levels = sorted({li for li, _, _, _ in hists["single"]})
     lines = ["# Stage-2 trajectory parity (CPU, synthetic scene)", "",
-             "Same scene/checkpoint trained 7 ways; three reseeded "
+             "Same scene/checkpoint trained 8 ways; three reseeded "
              "single-device controls (`seed3/4/5`: different "
              "shuffle/noise seeds) define a PER-LEVEL run-to-run noise "
              "band.  dp4/fp4/bf16 must sit inside the band at EVERY "
-             "pyramid level (dp's adaptive lr is per-optimizer-step "
-             "budget — see train/stage2.py).  Values = final `swd` "
-             "looping loss per pyramid level.", "",
+             "pyramid level.  Values = final `swd` looping loss per "
+             "pyramid level.", "",
+             "`dp4` runs the shipped defaults: levels with fewer than "
+             "`--dp_serial_below` patches feed ONE patch per optimizer "
+             "step (weight-0 filler rows, exact via the masked psum), "
+             "keeping the reference's batch-1 Adam regime where step "
+             "counts are small.  `dp4_nb` is the same mesh with that "
+             "fallback disabled (`--dp_serial_below 0`) — the round-2 "
+             "configuration — kept as the ROOT-CAUSE diagnostic: "
+             "batching n_dp patches per step cuts the number of Adam "
+             "updates n_dp-fold, and at coarse pyramid levels with a "
+             "handful of patches those few large steps converge "
+             "differently (outside the band).  The parallel arithmetic "
+             "itself is exact (tests/test_parallel.py::"
+             "test_dp_step_matches_single_device, "
+             "::test_stage2_dp_serial_matches_single_device).", "",
              "| level | " + " | ".join(runs) + " | noise band |",
              "|---|" + "---|" * (len(runs) + 1)]
     final = {}
@@ -143,7 +158,7 @@ def main():
 
     lines.append("")
     ok = True
-    for n in ("dp4", "fp4", "bf16"):
+    for n in ("dp4", "dp4_nb", "fp4", "bf16"):
         worst = ""
         n_ok = True
         for li in levels:
@@ -152,10 +167,13 @@ def main():
             if dev > band:
                 n_ok = False
                 worst += f" l{li}: dev {dev:.4f} > band {band:.4f};"
-        ok &= n_ok
+        if n != "dp4_nb":          # diagnostic run, not a gate
+            ok &= n_ok
         lines.append(f"- `{n}`: "
                      + ("**within** the noise band at every level"
-                        if n_ok else f"**OUTSIDE**:{worst}"))
+                        if n_ok else f"**OUTSIDE**:{worst}")
+                     + (" (diagnostic; expected outside at coarse "
+                        "levels — see above)" if n == "dp4_nb" else ""))
     lines.append("")
     lines.append(f"Overall: {'PASS' if ok else 'FAIL'}")
     out = os.path.join(os.path.dirname(os.path.dirname(

@@ -255,6 +255,37 @@ def test_stage1_trainer_shard_views_matches_plain(tmp_path):
                            atol=1e-6), k
 
 
+def test_stage2_dp_serial_matches_single_device(tmp_path):
+    """--dp_serial_below (B=1 feeding on the dp mesh via weight-0
+    filler rows) must reproduce the single-device trainer's loss
+    trajectory: same patch order, same adaptive-lr divisor, one real
+    patch per optimizer step.  This isolates the round-2 dp4
+    trajectory deviation to the B=n_dp batch regime (Adam step-count
+    collapse at small levels), not the parallel arithmetic."""
+    from tests.test_stage2 import _stage2_args
+    from videoloop3d_tpu.train import stage2
+    scene = synthetic.make_scene(n_views=3, h=24, w=32, n_frames=6,
+                                 seed=0)
+    scene_dir = str(tmp_path / "scene")
+    synthetic.write_llff_dir(scene, scene_dir, factor=1)
+
+    runs = {}
+    for name, over in (
+            ("single", {"mesh_devices": "1"}),
+            ("dpser", {"mesh_devices": "4", "mesh_fp": "1",
+                       "dp_serial_below": "100000"})):
+        losses = []
+        args = _stage2_args(tmp_path, scene_dir, expname=f"ser_{name}",
+                            **over)
+        stage2.train(args, progress_cb=lambda p, e, m: losses.append(
+            float(m["loss"])))
+        runs[name] = losses
+
+    a, b = np.asarray(runs["single"]), np.asarray(runs["dpser"])
+    assert a.shape == b.shape
+    assert np.allclose(a, b, rtol=1e-3, atol=1e-4), (a, b)
+
+
 def test_dp_step_distinct_patches_trains():
     """Distinct patches per device: one step must run and reduce loss
     over a few iterations."""

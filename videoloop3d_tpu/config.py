@@ -184,6 +184,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "crops instead of device-resident video stacks "
                         "(escape hatch; uploads pin host memory on the "
                         "axon runtime - see train/stage2.py:device_crop)")
+    p.add_argument("--dp_serial_below", type=int, default=32,
+                   help="stage 2: pyramid levels with fewer than this "
+                        "many patches feed the dp mesh one patch per "
+                        "optimizer step (weight-0 filler rows), keeping "
+                        "the reference's batch-1 Adam regime where step "
+                        "counts are small; larger levels batch n_dp "
+                        "patches per step (0 disables)")
     p.add_argument("--mesh_fp", type=int, default=0,
                    help="frame-parallel axis size (0 = auto: largest "
                         "divisor of the loop length that fits)")

@@ -406,12 +406,21 @@ def train(args, progress_cb=None):
                                          item_cfg, mesh)
         return step, init, n_dp
 
+    def _dp_serial(n_patches):
+        """True when this level should feed one patch per optimizer
+        step even on a dp mesh (see --dp_serial_below)."""
+        return (mesh is not None and mesh.shape["dp"] > 1
+                and 0 < n_patches < int(
+                    getattr(args, "dp_serial_below", 0) or 0))
+
     def batched_items(dataset):
         """Group the shuffled epoch into same-losscfg batches of the dp
         size (padding by repetition), then interleave the groups in
         shuffled order (matching the reference's global patch shuffle).
         Returns (cfg_key, items, weights) triples; weights is None
-        except under --shard_views (see _batched_items_sharded)."""
+        except under --shard_views (see _batched_items_sharded).
+        Levels below --dp_serial_below patches feed serially (B=1
+        semantics) instead — see _dp_serial."""
         if shard_views and mesh is not None:
             return _batched_items_sharded(dataset)
         groups = {}
@@ -419,6 +428,23 @@ def train(args, progress_cb=None):
             k = repr(sorted(item["losscfg"].items()))
             groups.setdefault(k, []).append(item)
         batches = []
+        if _dp_serial(sum(len(v) for v in groups.values())):
+            # B=1 feeding on the dp mesh: one real patch per optimizer
+            # step, the other rows weight-0 copies (zero gradient via
+            # the masked psum).  Small levels have so few patches that
+            # batching n_dp of them collapses the Adam step count and
+            # the trajectory leaves the single-device noise band (the
+            # round-2 dp4 level-0 blow-up); serial feeding restores the
+            # reference's batch-1 regime exactly, and costs nothing
+            # where it applies (small levels are cheap).
+            for k, items in groups.items():
+                bs = step_cache[k][2]
+                for it in items:
+                    wts = (np.asarray([1.0] + [0.0] * (bs - 1),
+                                      np.float32) if bs > 1 else None)
+                    batches.append((k, [it] * bs, wts))
+            np_rng.shuffle(batches)
+            return batches
         for k, items in groups.items():
             bs = step_cache[k][2]
             for i in range(0, len(items), bs):
@@ -462,6 +488,27 @@ def train(args, progress_cb=None):
                 if filler[p] is None:
                     filler[p] = it
         batches = []
+        if _dp_serial(sum(len(v) for v in groups.values())):
+            # serial (B=1) feeding under --shard_views: the real patch
+            # sits in its owner process's first row, every other row is
+            # that row's process-local weight-0 filler
+            for k, items in groups.items():
+                bs = step_cache[k][2]
+                for it in items:
+                    p_own = owner_pos[it["view"]]
+                    slots, wts = [], []
+                    for p in range(nproc):
+                        for j in range(rows_pp):
+                            if p == p_own and j == 0:
+                                slots.append(it)
+                                wts.append(1.0)
+                            else:
+                                slots.append(filler[p])
+                                wts.append(0.0)
+                    batches.append((k, slots,
+                                    np.asarray(wts, np.float32)))
+            np_rng.shuffle(batches)
+            return batches
         for k, items in groups.items():
             per_proc = [[] for _ in range(nproc)]
             for it in items:
