@@ -247,6 +247,59 @@ def test_tile_adjoint_matches_autodiff():
         assert rel < 1e-5, (frames, rel)
 
 
+def test_tile_adjoint_active_compaction_exact():
+    """active_t tile-compaction: the adjoint restricted to the
+    patch-active tile bound must reproduce the full per-tile gradient
+    exactly (inactive tiles contribute nothing), for both the 4-D and
+    tile-major samplers, on a small patch that sees only part of the
+    scene."""
+    from videoloop3d_tpu.core import cameras
+    geom, _, ext, intrin, rng, (h, w) = _setup()
+    # a quarter patch at an interior origin: most tiles inactive
+    ph, pw = 10, 12
+    h0, w0 = 6, 8
+    pintr = cameras.shift_intrinsic(np.asarray(intrin[0]), h0, w0)[None]
+    coords = R.warp_coordinates(geom, ext, jnp.asarray(pintr), ph, pw)
+
+    tile_map = np.full((geom.n_planes, geom.n_tiles_h, geom.n_tiles_w),
+                       -1, np.int32)
+    keep = rng.random(tile_map.shape) < 0.8
+    tile_map[keep] = np.arange(keep.sum(), dtype=np.int32)
+    n = int(keep.sum())
+    th, tw = geom.default_tile_texels()
+
+    k, fu, fv = R.tile_lookup(geom, jnp.asarray(tile_map), coords)
+    u = (fu * (tw - 1))[0]
+    v = (fv * (th - 1))[0]
+    k0 = k[0]
+    M = A.forward_projection(geom.depths_np(), geom.ref_intrin_mpi_np(),
+                             ext, jnp.asarray(pintr))[0]
+    T = A.active_tile_bound(geom, tile_map, np.asarray(ext),
+                            np.asarray(intrin), ph, pw,
+                            [(w0, h0)], margin=1)
+    assert 0 < T <= n
+    win = A.tile_window_for(geom, (ph, pw))
+    pos = A.tile_positions(tile_map)
+    samp_full = A.make_tile_adjoint(pos, geom.tile_span, win)
+    samp_act = A.make_tile_adjoint(pos, geom.tile_span, win, active_t=T)
+
+    for frames in (None, 3):
+        shape = (n, th, tw, 4) if frames is None \
+            else (n, th, tw, frames, 4)
+        tiles = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+        ct = jnp.asarray(
+            rng.standard_normal(k0.shape + shape[3:]).astype(np.float32))
+
+        def loss(sampler, t):
+            vals, _ = sampler(t, k0, u, v, M)
+            return jnp.sum(vals * ct)
+
+        g_full = np.asarray(jax.grad(lambda t: loss(samp_full, t))(tiles))
+        g_act = np.asarray(jax.grad(lambda t: loss(samp_act, t))(tiles))
+        assert np.array_equal(g_full, g_act), (
+            frames, np.abs(g_full - g_act).max())
+
+
 def test_fast_stage2_grad_render_equivalence():
     """MPMeshVid render gradients with --fast_stage2_grad on == off."""
     from videoloop3d_tpu.config import parse_args_with_configs

@@ -77,23 +77,41 @@ def test_compact_render_and_grad_equivalence():
                                       training=True)
         return jnp.sum(rgb ** 2) + jnp.sum(variables["alpha"]), rgb
 
+    # hit-compaction + tile-compaction combined (the shipped fast path)
+    from videoloop3d_tpu.render.adjoint import active_tile_bound
+    model_d, _, _, _, _ = _build(True)
+    model_d.compact_slots = S
+    model_d.active_tiles = tuple(
+        active_tile_bound(model_a.geom, tm, np.asarray(ext),
+                          np.asarray(intr), h, w, [(0, 0)], margin=1)
+        for tm in (model_a.tile_map_static, model_a.tile_map_dyn))
+
     (la, ra) = loss(model_a, params)
     (lb, rb) = loss(model_b, params)
     (lc, rc) = loss(model_c, params)
+    (ld, rd) = loss(model_d, params)
     assert np.allclose(np.asarray(ra), np.asarray(rb), atol=1e-6)
     assert np.allclose(np.asarray(ra), np.asarray(rc), atol=1e-6)
+    assert np.allclose(np.asarray(ra), np.asarray(rd), atol=1e-6)
     assert np.isclose(float(la), float(lb), rtol=1e-6)
     assert np.isclose(float(la), float(lc), rtol=1e-6)
+    assert np.isclose(float(la), float(ld), rtol=1e-6)
 
     ga = jax.grad(lambda p: loss(model_a, p)[0])(params)
     gb = jax.grad(lambda p: loss(model_b, p)[0])(params)
     gc = jax.grad(lambda p: loss(model_c, p)[0])(params)
+    gd = jax.grad(lambda p: loss(model_d, p)[0])(params)
     for key in ("atlas", "atlas_dyn"):
         a = np.asarray(ga[key])
-        for name, g in (("plain", gb), ("adjoint", gc)):
+        for name, g in (("plain", gb), ("adjoint", gc),
+                        ("adjoint+tiles", gd)):
             b = np.asarray(g[key])
             rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-12)
             assert rel < 2e-5, (key, name, rel)
+    # tile-compaction must be bit-identical to the uncompacted adjoint
+    for key in ("atlas", "atlas_dyn"):
+        assert np.array_equal(np.asarray(gc[key]), np.asarray(gd[key])), \
+            key
 
 
 def test_compact_extras_invariants():

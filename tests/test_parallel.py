@@ -286,6 +286,35 @@ def test_stage2_dp_serial_matches_single_device(tmp_path):
     assert np.allclose(a, b, rtol=1e-3, atol=1e-4), (a, b)
 
 
+def test_stage2_dp_serial_shard_views_matches_plain(tmp_path):
+    """The serial (B=1) feeding branch under --shard_views: with one
+    process the sharded feed must reproduce the plain dp-serial
+    trainer's trajectory (same patches, one real row per step, local
+    fillers elsewhere)."""
+    from tests.test_stage2 import _stage2_args
+    from videoloop3d_tpu.train import stage2
+    scene = synthetic.make_scene(n_views=3, h=24, w=32, n_frames=6,
+                                 seed=0)
+    scene_dir = str(tmp_path / "scene")
+    synthetic.write_llff_dir(scene, scene_dir, factor=1)
+
+    runs = {}
+    for name, over in (
+            ("plain", {}),
+            ("sv", {"shard_views": None})):
+        losses = []
+        args = _stage2_args(tmp_path, scene_dir, expname=f"svs_{name}",
+                            mesh_devices="4", mesh_fp="1",
+                            dp_serial_below="100000", **over)
+        stage2.train(args, progress_cb=lambda p, e, m: losses.append(
+            float(m["loss"])))
+        runs[name] = np.asarray(losses)
+
+    a, b = runs["plain"], runs["sv"]
+    assert a.shape == b.shape
+    assert np.allclose(a, b, rtol=1e-3, atol=1e-4), (a, b)
+
+
 def test_dp_step_distinct_patches_trains():
     """Distinct patches per device: one step must run and reduce loss
     over a few iterations."""

@@ -122,7 +122,9 @@ def test_stage2_full_pipeline_sparse(tmp_path):
     synthetic.write_llff_dir(scene, scene_dir, factor=1)
     ckpt_path = _make_stage1_ckpt(tmp_path, scene_dir)
 
-    args = _stage2_args(tmp_path, scene_dir, init_from=ckpt_path)
+    args = _stage2_args(tmp_path, scene_dir, init_from=ckpt_path,
+                        fast_stage2_grad=None, compact_hits=None,
+                        compact_tiles=None)
     losses = []
     model, params, rundir = stage2.train(
         args, progress_cb=lambda p, e, m: losses.append(float(m["loss"])))

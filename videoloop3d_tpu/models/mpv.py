@@ -61,6 +61,11 @@ class MPMeshVid:
         # --compact_hits: static per-pixel hit bound S set by the trainer
         # (render/compact.py:slot_bound); None disables compaction
         self.compact_slots = None
+        # --compact_tiles: static patch-active tile bounds (static, dyn)
+        # set by the trainer (render/adjoint.py:active_tile_bound); the
+        # per-tile adjoint backward then loops over the bound instead of
+        # every packed tile.  None disables.
+        self.active_tiles = None
 
     # ------------------------------------------------------------------
     # Dynamic-atlas layout: TILE-MAJOR with a trailing frame axis —
@@ -196,16 +201,19 @@ class MPMeshVid:
         # key on the tile-map identities too: the samplers bake in
         # tile_positions(tile_map_*), so a reload/re-cull at the same
         # geometry must not serve stale packed-tile positions
+        act = self.active_tiles
         key = (self.geom, id(self.tile_map_static), id(self.tile_map_dyn),
-               compacted)
+               compacted, act)
         if key not in self._adj_cache:
             win = ADJ.tile_window_for(self.geom, (self.H, self.W))
             span = self.geom.tile_span
             make = ADJ.make_tile_adjoint_compacted if compacted \
                 else ADJ.make_tile_adjoint
             self._adj_cache[key] = (
-                make(ADJ.tile_positions(self.tile_map_static), span, win),
-                make(ADJ.tile_positions(self.tile_map_dyn), span, win))
+                make(ADJ.tile_positions(self.tile_map_static), span, win,
+                     active_t=act[0] if act else None),
+                make(ADJ.tile_positions(self.tile_map_dyn), span, win,
+                     active_t=act[1] if act else None))
         return self._adj_cache[key]
 
     def render(self, params, h, w, extrins, intrins, ts,

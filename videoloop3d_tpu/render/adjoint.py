@@ -429,13 +429,87 @@ def tile_window_for(geom, image_hw, margin=2.0):
     return int(max(ext_y, ext_x) * margin) + 4
 
 
+def _tile_pixel_bbox(tile_pos, sy, sx, M):
+    """Project every packed tile's quad corners; (N,) pixel bboxes.
+
+    Returns (px_min, px_max, py_min, py_max, wild) — ``wild`` marks
+    tiles whose corner depths change sign (crossing the camera plane),
+    where the projected bbox is meaningless and any consumer must be
+    conservative."""
+    pos = jnp.asarray(tile_pos)
+    d = pos[:, 0]
+    cox = jnp.array([0.0, 1.0, 0.0, 1.0], jnp.float32) * sx
+    coy = jnp.array([0.0, 0.0, 1.0, 1.0], jnp.float32) * sy
+    qx = pos[:, 2].astype(jnp.float32)[:, None] * sx + cox[None]  # (N,4)
+    qy = pos[:, 1].astype(jnp.float32)[:, None] * sy + coy[None]
+    Md = M[d]                                                     # (N,3,3)
+    den = (Md[:, 2, 0, None] * qx + Md[:, 2, 1, None] * qy
+           + Md[:, 2, 2, None])
+    wild = (jnp.min(den, axis=1) <= 1e-12) != (jnp.max(den, axis=1)
+                                               <= 1e-12)
+    den = jnp.where(jnp.abs(den) < 1e-12, 1e-12, den)
+    px = (Md[:, 0, 0, None] * qx + Md[:, 0, 1, None] * qy
+          + Md[:, 0, 2, None]) / den
+    py = (Md[:, 1, 0, None] * qx + Md[:, 1, 1, None] * qy
+          + Md[:, 1, 2, None]) / den
+    return (jnp.min(px, axis=1), jnp.max(px, axis=1),
+            jnp.min(py, axis=1), jnp.max(py, axis=1), wild)
+
+
+def active_tile_bound(geom, tile_map, extrins, intrins, ph, pw, origins,
+                      jitter_px=0.55, margin=16):
+    """Static bound on patch-active packed tiles (for ``active_t``).
+
+    Counts, for every (training view, patch origin) pair, the tiles
+    whose projected quad bbox reaches the patch rect — the SAME test
+    ``_packed_tile_grad`` applies at train time (its patch-frame bbox is
+    the full-frame bbox shifted by the origin, exactly), widened by the
+    intrinsic-jitter amplitude — and returns the max plus a margin.
+
+    extrins: (V, 4, 4); intrins: (V, 3, 3) at the level's full
+    resolution; origins: (n, 2) of (w0, h0) patch starts (the dataset's
+    fixed tiling).  Cheap: one projection of the packed tile corners
+    per view.
+    """
+    import numpy as np
+
+    tile_pos = tile_positions(tile_map)
+    N = len(tile_pos)
+    if N == 0:
+        return 0
+    sy, sx = geom.tile_span
+    depths = jnp.asarray(geom.depths)
+    ref_k = jnp.asarray(geom.ref_intrin_mpi)
+    mx = 0
+    for vi in range(len(extrins)):
+        M = forward_projection(
+            depths, ref_k, jnp.asarray(extrins[vi], jnp.float32)[None],
+            jnp.asarray(intrins[vi], jnp.float32)[None])[0]
+        px_min, px_max, py_min, py_max, wild = (
+            np.asarray(a) for a in _tile_pixel_bbox(tile_pos, sy, sx, M))
+        for w0, h0 in np.asarray(origins):
+            act = (((px_max >= w0 - 2.0 - jitter_px)
+                    & (px_min <= w0 + pw + 1.0 + jitter_px)
+                    & (py_max >= h0 - 2.0 - jitter_px)
+                    & (py_min <= h0 + ph + 1.0 + jitter_px)) | wild)
+            mx = max(mx, int(act.sum()))
+    return int(min(N, mx + margin))
+
+
 def _packed_tile_grad(tile_pos, sy, sx, window, tiles_shape, tiles_dtype,
-                      k, u, v, M, ct):
+                      k, u, v, M, ct, active_t=None):
     """The per-tile adjoint gradient body, full (D, h, w) layout.
 
     ct: (D, h, w, K) float32 cotangent rows.  Returns the packed
     ``tiles_shape`` gradient.  Shared by the plain and hit-compacted
-    samplers (render/compact.py)."""
+    samplers (render/compact.py).
+
+    active_t: optional static bound on the number of tiles whose pixel
+    footprint intersects the (h, w) patch (active_tile_bound()).  When
+    set, inactive tiles — which contribute exactly zero (no pixel's
+    saved k equals them) — are compacted away and the per-tile loop
+    runs at the bound instead of N (a training patch covers a fraction
+    of the scene: ~21% of tiles at the production scale)."""
     import numpy as np
 
     hi = jax.lax.Precision.HIGHEST
@@ -450,48 +524,89 @@ def _packed_tile_grad(tile_pos, sy, sx, window, tiles_shape, tiles_dtype,
     pos = jnp.asarray(tile_pos)
     gu = jnp.arange(tw, dtype=jnp.float32)
     gv = jnp.arange(th, dtype=jnp.float32)
-    # tile-corner virtual coords (constant offsets per tile)
-    cox = jnp.array([0.0, 1.0, 0.0, 1.0], jnp.float32) * sx
-    coy = jnp.array([0.0, 0.0, 1.0, 1.0], jnp.float32) * sy
+
+    # window origins (and activity) for ALL tiles, vectorized
+    px_min, px_max, py_min, py_max, wild = _tile_pixel_bbox(
+        tile_pos, sy, sx, M)
+    px0s = jnp.clip(jnp.floor(px_min).astype(jnp.int32) - 1, 0, w - Wp)
+    py0s = jnp.clip(jnp.floor(py_min).astype(jnp.int32) - 1, 0, h - Wp)
+    ids = jnp.arange(N, dtype=jnp.int32)
+    n_loop = N
+    if active_t is not None and active_t < N:
+        # a tile can own a pixel only if its projected bbox reaches the
+        # patch (margin 2 px covers the -1 floor + bilinear halo); wild
+        # tiles are kept conservatively.  Inactive tiles have mine == 0
+        # everywhere, so dropping them is exact — active_tile_bound()
+        # guarantees the bound with the same test + jitter margin.
+        act = ((px_max >= -2.0) & (px_min <= w + 1.0)
+               & (py_max >= -2.0) & (py_min <= h + 1.0)) | wild
+        # stable compaction: active ids first, packed order preserved;
+        # overflow beyond the bound pads with inactive ids (exact: they
+        # contribute zero) rather than dropping grads
+        order = jnp.argsort(jnp.logical_not(act), stable=True)
+        ids = order[: int(active_t)].astype(jnp.int32)
+        px0s = px0s[ids]
+        py0s = py0s[ids]
+        n_loop = int(active_t)
+
+    # Pack (k, u, v, ct) into ONE (D, h, w, 3+K) array so the window
+    # extraction reads each operand together.  k fits f32 exactly (tile
+    # counts << 2^24), so mine == (ks == idx) is unchanged and the
+    # adjoint stays the exact transpose.
+    packed = jnp.concatenate(
+        [k.astype(jnp.float32)[..., None],
+         u.astype(jnp.float32)[..., None],
+         v.astype(jnp.float32)[..., None], ct], axis=-1)
+    Cp = 3 + K
+    # Window extraction strategy (measured on v5e, production scale):
+    # a vmapped dynamic_slice lowers to a SERIALIZED while-over-tiles
+    # (~8 us per tile — ~77 ms/step on the static atlas, the majority
+    # of the adjoint's cost), and lax.gather with a full (Wp,Wp) block
+    # per descriptor is just as slow.  lax.gather with a few ROWS per
+    # descriptor keeps the gather engine on its fast path (contiguous
+    # (ry, Wp, Cp) slices, N*Wp/ry descriptors): 69 -> 19 ms for the
+    # same extraction.  ry = a small divisor of Wp.
+    ry = next((r for r in (5, 4, 3, 2) if Wp % r == 0), 1)
+    nb = Wp // ry
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3, 4), collapsed_slice_dims=(),
+        start_index_map=(0, 1, 2, 3))
 
     def per_tile(inp):
-        idx, p = inp
-        d, ti, tj = p[0], p[1], p[2]
-        Md = M[d]
-        qx = tj.astype(jnp.float32) * sx + cox      # (4,)
-        qy = ti.astype(jnp.float32) * sy + coy
-        den = Md[2, 0] * qx + Md[2, 1] * qy + Md[2, 2]
-        den = jnp.where(jnp.abs(den) < 1e-12, 1e-12, den)
-        px = (Md[0, 0] * qx + Md[0, 1] * qy + Md[0, 2]) / den
-        py = (Md[1, 0] * qx + Md[1, 1] * qy + Md[1, 2]) / den
-        px0 = jnp.clip(jnp.floor(jnp.min(px)).astype(jnp.int32) - 1,
-                       0, w - Wp)
-        py0 = jnp.clip(jnp.floor(jnp.min(py)).astype(jnp.int32) - 1,
-                       0, h - Wp)
-        ks = jax.lax.dynamic_slice(
-            k, (d, py0, px0), (1, Wp, Wp)).reshape(-1)
-        us = jax.lax.dynamic_slice(
-            u, (d, py0, px0), (1, Wp, Wp)).reshape(-1)
-        vs = jax.lax.dynamic_slice(
-            v, (d, py0, px0), (1, Wp, Wp)).reshape(-1)
-        cs = jax.lax.dynamic_slice(
-            ct, (d, py0, px0, 0), (1, Wp, Wp, K)).reshape(-1, K)
-        mine = (ks == idx)
-        uu = jnp.clip(us.astype(jnp.float32), 0.0, tw - 1.0)
-        vv = jnp.clip(vs.astype(jnp.float32), 0.0, th - 1.0)
+        idx, py0, px0 = inp
+        d = pos[idx, 0]
+        starts = jnp.stack(
+            [jnp.full((nb,), d, jnp.int32),
+             py0 + ry * jnp.arange(nb, dtype=jnp.int32),
+             jnp.full((nb,), px0, jnp.int32),
+             jnp.zeros((nb,), jnp.int32)], axis=-1)
+        win = jax.lax.gather(packed, starts, dn, (1, ry, Wp, Cp),
+                             mode=jax.lax.GatherScatterMode.CLIP)
+        win = win.reshape(-1, Cp)
+        ks = win[:, 0]
+        us = win[:, 1]
+        vs = win[:, 2]
+        cs = win[:, 3:]
+        mine = (ks == idx.astype(jnp.float32))
+        uu = jnp.clip(us, 0.0, tw - 1.0)
+        vv = jnp.clip(vs, 0.0, th - 1.0)
         wx = jnp.maximum(0.0, 1.0 - jnp.abs(uu[:, None] - gu[None]))
         wy = jnp.maximum(0.0, 1.0 - jnp.abs(vv[:, None] - gv[None]))
         wy = wy * mine[:, None]
         tmp = jnp.einsum("ph,pk->phk", wy, cs, precision=hi)
         return jnp.einsum("pw,phk->hwk", wx, tmp, precision=hi)
 
-    g = jax.lax.map(per_tile,
-                    (jnp.arange(N, dtype=jnp.int32), pos),
-                    batch_size=min(64, N))
+    g = jax.lax.map(per_tile, (ids, py0s, px0s),
+                    batch_size=min(64, n_loop))
+    if n_loop < N:
+        full = jnp.zeros((N, th, tw, K), g.dtype)
+        # ids are unique (a permutation slice) -> set, not add; inactive
+        # pad rows write their (exactly zero) grads harmlessly
+        g = full.at[ids].set(g)
     return g.reshape(tiles_shape).astype(tiles_dtype)
 
 
-def make_tile_adjoint(tile_pos, spans, window):
+def make_tile_adjoint(tile_pos, spans, window, active_t=None):
     """Build a packed-tile sampler with the per-tile adjoint backward.
 
     tile_pos: (N, 3) host int array of packed-tile (d, i, j) positions;
@@ -528,7 +643,8 @@ def make_tile_adjoint(tile_pos, spans, window):
         tiles_shape, dtok, k, u, v, M = res
         g = _packed_tile_grad(tile_pos, sy, sx, window, tiles_shape,
                               dtok.dtype, k, u, v, M,
-                              cts[0].astype(jnp.float32))
+                              cts[0].astype(jnp.float32),
+                              active_t=active_t)
         f0 = jax.dtypes.float0
         zk = np.zeros(k.shape, f0)
         return (g, zk, jnp.zeros_like(u), jnp.zeros_like(v),
@@ -538,7 +654,8 @@ def make_tile_adjoint(tile_pos, spans, window):
     return sample
 
 
-def make_tile_adjoint_compacted(tile_pos, spans, window):
+def make_tile_adjoint_compacted(tile_pos, spans, window,
+                               active_t=None):
     """Hit-compacted variant of `make_tile_adjoint`.
 
     Returns ``f(tiles, k_c, u_c, v_c, k, u, v, oh, M) -> (values, hit)``
@@ -574,7 +691,8 @@ def make_tile_adjoint_compacted(tile_pos, spans, window):
         tiles_shape, dtok, k, u, v, oh, M = res
         ct_full = expand_cotangent(oh, cts[0].astype(jnp.float32))
         g = _packed_tile_grad(tile_pos, sy, sx, window, tiles_shape,
-                              dtok.dtype, k, u, v, M, ct_full)
+                              dtok.dtype, k, u, v, M, ct_full,
+                              active_t=active_t)
         f0 = jax.dtypes.float0
         S = oh.shape[0]
         zk_c = np.zeros((S,) + k.shape[1:], f0)

@@ -11,6 +11,7 @@ import os
 
 import numpy as np
 
+from videoloop3d_tpu.backend import apply_backend_from_args
 from videoloop3d_tpu.config import build_parser, parse_args_with_configs
 from videoloop3d_tpu.data import llff
 from videoloop3d_tpu.export.mesh_export import export_mtv, scene_meta_from_llff
@@ -23,6 +24,7 @@ def main(argv=None):
     parser.add_argument("--ckpt", type=str, default="",
                         help="explicit checkpoint path (default: newest)")
     args = parse_args_with_configs(argv, parser)
+    apply_backend_from_args(args)
 
     expname = args.expname + args.expname_postfix
     outdir = os.path.join(args.prefix, args.mesh_folder, expname)

@@ -564,6 +564,26 @@ def train(args, progress_cb=None):
             print(f"[stage2] l{pyr_i} hit-compaction: "
                   f"S={S} of D={model.geom.n_planes}"
                   + ("" if model.compact_slots else " (no win; off)"))
+        # tile-compaction bound: the dataset's patch-origin tiling is
+        # fixed per level, so the max patch-active tile count over all
+        # (view, origin) pairs statically bounds every training step
+        model.active_tiles = None
+        if (getattr(args, "compact_tiles", False) and model.is_sparse
+                and args.fast_stage2_grad):
+            from videoloop3d_tpu.render.adjoint import active_tile_bound
+            exts = cameras.pose_to_extrinsic(dataset.poses)
+            bounds = []
+            for tm in (model.tile_map_static, model.tile_map_dyn):
+                n_tiles = int((np.asarray(tm) >= 0).sum())
+                t = active_tile_bound(model.geom, tm, exts,
+                                      dataset.intrins, ph, pw,
+                                      dataset.origins)
+                bounds.append(t if t < n_tiles else None)
+            if any(b is not None for b in bounds):
+                model.active_tiles = tuple(bounds)
+            print(f"[stage2] l{pyr_i} tile-compaction: active <= "
+                  f"{bounds[0]}/{bounds[1]} tiles"
+                  + ("" if model.active_tiles else " (no win; off)"))
         # the level's padded videos live on device ONCE; per-step
         # batches carry only (view, origin) and the step crops on device
         # (each host->device upload pins host memory on axon, see
