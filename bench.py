@@ -330,6 +330,12 @@ def main():
                     help="bench with --compact_hits (hit-compacted "
                          "sparse sweep), ON like the shipped configs; "
                          "--no-compact for the dense sweep")
+    ap.add_argument("--compact_tiles", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="bench with --compact_tiles (patch-active tile "
+                         "bound on the adjoint backward), ON like the "
+                         "shipped configs; --no-compact_tiles for the "
+                         "full per-tile loop")
     ap.add_argument("--no_remat", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="bench with --no_render_remat (keep render "
@@ -401,6 +407,19 @@ def main():
         if S < model.geom.n_planes:
             model.compact_slots = S
         info["slots"] = model.compact_slots
+    if opts.compact_tiles and opts.fast_grad:
+        from videoloop3d_tpu.render.adjoint import active_tile_bound
+        bounds = []
+        for tm in (model.tile_map_static, model.tile_map_dyn):
+            n_tiles = int((np.asarray(tm) >= 0).sum())
+            t = active_tile_bound(model.geom, tm,
+                                  np.asarray(batch["extrin"]),
+                                  np.asarray(batch["intrin"]), ph, pw,
+                                  [(0, 0)])
+            bounds.append(t if t < n_tiles else None)
+        if any(b is not None for b in bounds):
+            model.active_tiles = tuple(bounds)
+        info["active_tiles"] = bounds
     if opts.verbose:
         print("setup:", info, file=sys.stderr)
         print("devices:", jax.devices(), file=sys.stderr)

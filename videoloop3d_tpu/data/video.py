@@ -112,8 +112,16 @@ def _bilinear_resize_np(video, h, w):
 
 
 def to8b(x):
-    """float [0,1] -> uint8 (ref utils.py:17)."""
-    return (255 * np.clip(np.asarray(x), 0, 1)).astype(np.uint8)
+    """float [0,1] -> uint8 (ref utils.py:17).
+
+    uint8 passes through unchanged so callers can hand in frames already
+    quantized ON DEVICE (the preview/offline-render paths fetch u8 to cut
+    the tunnel transfer 4x; the f32 multiply+truncate is IEEE-identical
+    on device and host)."""
+    x = np.asarray(x)
+    if x.dtype == np.uint8:
+        return x
+    return (255 * np.clip(x, 0, 1)).astype(np.uint8)
 
 
 def gaussian_blur(img, ksize):

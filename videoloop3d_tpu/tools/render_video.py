@@ -92,10 +92,19 @@ def main(argv=None):
     os.makedirs(outdir, exist_ok=True)
     extrins = cameras.pose_to_extrinsic(view_poses)
     frames = []
-    for i in range(len(view_poses)):
-        f = render_eval(model, params, H, W, extrins[i:i + 1],
-                        view_intrins[i:i + 1], render_t[i:i + 1], chunk=1)
-        frames.append(to8b(f[0]))
+    if v_arg:
+        # fixed view: every frame shares the pose — render the whole
+        # time selection in chunks (one dispatch per chunk, not per
+        # frame; the offline render is tunnel/dispatch-bound)
+        out = render_eval(model, params, H, W, extrins[:1],
+                          view_intrins[:1], render_t, chunk=10, u8=True)
+        frames = [to8b(f) for f in out]
+    else:
+        for i in range(len(view_poses)):
+            f = render_eval(model, params, H, W, extrins[i:i + 1],
+                            view_intrins[i:i + 1], render_t[i:i + 1],
+                            chunk=1, u8=True)
+            frames.append(to8b(f[0]))
     out_type = args.type
     if len(frames) < 3:
         out_type += "seq"

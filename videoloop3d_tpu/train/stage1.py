@@ -128,13 +128,21 @@ _preview_fwd_cache = {}
 def _preview_fwd(model, h, w):
     """Jitted eval render, cached so repeated preview epochs don't pay a
     re-trace/compile per call (keyed on every shape-determining model
-    attribute; the model ref is kept so ids can't be recycled)."""
+    attribute; the model ref is kept so ids can't be recycled).
+
+    Quantizes to uint8 ON DEVICE (same multiply+truncate as
+    data/video.py:to8b, IEEE-identical bytes) so each spiral frame
+    fetches 4x fewer bytes over the axon tunnel — the previews were
+    fetch-bound, not render-bound."""
     key = (id(model), model.geom, model.is_sparse, model.tile_hw,
            model.cfg.rgb_mlp_type, h, w)
     hit = _preview_fwd_cache.get(key)
     if hit is None:
-        fn = jax.jit(lambda p, e, i: model.forward(p, h, w, e, i,
-                                                   training=False)[0])
+        def fn(p, e, i):
+            rgbl = model.forward(p, h, w, e, i, training=False)[0]
+            return (255.0 * jnp.clip(rgbl, 0.0, 1.0)).astype(jnp.uint8)
+
+        fn = jax.jit(fn)
         _preview_fwd_cache[key] = (model, fn)
         return fn
     return hit[1]

@@ -200,25 +200,37 @@ def make_stage2_step(model: MPMeshVid, args, ph, pw, losscfg):
 _eval_fwd_cache = {}
 
 
-def _eval_fwd(model, h, w):
+def _eval_fwd(model, h, w, u8=False):
     """Jitted eval render, cached so per-frame preview loops don't pay a
     re-trace/compile per call.  Keyed on the model identity plus every
     shape-determining attribute that `lod` / culling can change (the
-    model ref is kept in the value so ids can't be recycled)."""
+    model ref is kept in the value so ids can't be recycled).
+
+    u8=True quantizes ON DEVICE (same multiply+truncate as
+    data/video.py:to8b, IEEE-identical bytes) so preview/offline-render
+    frames fetch 4x fewer bytes over the axon tunnel; the evaluator
+    keeps f32 (metrics are computed on float renders, ref
+    script_evaluate_ours.py:119-131)."""
     key = (id(model), model.geom, getattr(model, "frm_num", None),
-           model.tile_hw, model.is_sparse, h, w)
+           model.tile_hw, model.is_sparse, h, w, u8)
     hit = _eval_fwd_cache.get(key)
     if hit is None:
-        fn = jax.jit(lambda p, e, i, ts: model.render(
-            p, h, w, e, i, ts, training=False)[0])
+        def fn(p, e, i, ts):
+            rgb = model.render(p, h, w, e, i, ts, training=False)[0]
+            if u8:
+                rgb = (255.0 * jnp.clip(rgb, 0.0, 1.0)).astype(jnp.uint8)
+            return rgb
+
+        fn = jax.jit(fn)
         _eval_fwd_cache[key] = (model, fn)
         return fn
     return hit[1]
 
 
-def render_eval(model, params, h, w, extrin, intrin, ts_list, chunk=2):
+def render_eval(model, params, h, w, extrin, intrin, ts_list, chunk=2,
+                u8=False):
     """Chunked full-frame eval render (ref script_evaluate_ours.py:119)."""
-    fwd = _eval_fwd(model, h, w)
+    fwd = _eval_fwd(model, h, w, u8=u8)
     frames = []
     ts_list = np.asarray(ts_list)
     for i in range(0, len(ts_list), chunk):
@@ -754,7 +766,8 @@ def train(args, progress_cb=None):
                     f = render_eval(model, params, H, W,
                                     r_ext[ri:ri + 1],
                                     scene["render_intrins"][ri:ri + 1],
-                                    [ri % model.frm_num], chunk=1)
+                                    [ri % model.frm_num], chunk=1,
+                                    u8=True)
                     frames.append(f[0])
                 write_video(os.path.join(
                     rundir, f"l{pyr_i}_{epoch:04d}_rgb.mp4"),
