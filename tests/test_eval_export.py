@@ -66,6 +66,55 @@ def test_nnmse_zero_for_identical_and_positive_otherwise():
     assert NN.compute_nnerr(v, w, 3, 2, 3, 1, macro_block=17) > 0.01
 
 
+def test_nnmse_temporal_decomposition_matches_direct():
+    """The banded-sum temporal decomposition (and the shared-distance
+    pair variant) must reproduce the direct temporal-patch NN error."""
+    import jax
+    import jax.numpy as jnp
+    from videoloop3d_tpu.losses import patch_nn as P
+
+    def direct_nnerr(src, tar, p, s, pt, st, macro_block):
+        """The pre-decomposition formulation, inlined as the oracle."""
+        psz, strides = (pt, p, p), (st, s, s)
+
+        def block_err(s_crop, t_crop):
+            Xp = P.extract_patches_flat(s_crop, psz, strides)
+            Yp = P.extract_patches_flat(t_crop, psz, strides)
+            ntx, nh, nw, dim = Xp.shape
+            nty = Yp.shape[0]
+            Xf = Xp.reshape(ntx, nh * nw, dim).transpose(1, 0, 2)
+            Yf = Yp.reshape(nty, nh * nw, dim).transpose(1, 0, 2)
+            nns = P.nn_indices(Xf, Yf, None)
+            sel = jnp.take_along_axis(Yf, nns[..., None], axis=1)
+            return jnp.mean(jnp.abs(sel - Xf))
+
+        fn = jax.jit(jax.vmap(block_err))
+        # reuse _nnerr_impl's cropping by monkeypatching the block fn
+        orig = NN._block_err_fn
+        NN._block_err_fn = lambda *a, **k: fn
+        try:
+            return NN.compute_nnerr(src, tar, p, s, pt, st, macro_block)
+        finally:
+            NN._block_err_fn = orig
+
+    rng = np.random.default_rng(7)
+    F, H, W = 10, 28, 32
+    base = rng.random((3, 1, H, W), dtype=np.float32)
+    src = (base + 0.1 * rng.random((3, F, H, W))).astype(np.float32)
+    tar = (np.roll(src, 2, axis=1)
+           + 0.02 * rng.random((3, F, H, W))).astype(np.float32)
+    for p, s, pt, st in ((5, 2, 4, 1), (3, 2, 3, 2)):
+        want = direct_nnerr(src, tar, p, s, pt, st, 17)
+        got = NN.compute_nnerr(src, tar, p, s, pt, st, 17)
+        assert abs(got - want) / (abs(want) + 1e-12) < 1e-4, \
+            (p, s, pt, st, want, got)
+        f2, b2 = NN.compute_nnerr_pair(src, tar, p, s, pt, st, 17)
+        assert abs(f2 - got) < 1e-7
+        want_b = NN.compute_nnerr(tar, src, p, s, pt, st, 17)
+        assert abs(b2 - want_b) / (abs(want_b) + 1e-12) < 1e-6, \
+            (b2, want_b)
+
+
 def test_loop_quality_perfect_loop():
     """A perfectly looping prediction whose seam window exists in gt
     scores ~0."""

@@ -176,12 +176,11 @@ def evaluate(args, crop=40, compute_flags=None):
             fwd_row, bwd_row = [], []
             for p, s, pt, st in zip(patch_sizes, stride_sizes,
                                     patcht_sizes, stridet_sizes):
-                fwd_row.append(NN.compute_nnerr(to_cfhw(videos[vi]),
-                                                to_cfhw(preds[vi]),
-                                                p, s, pt, st))
-                bwd_row.append(NN.compute_nnerr(to_cfhw(preds[vi]),
-                                                to_cfhw(videos[vi]),
-                                                p, s, pt, st))
+                f, b = NN.compute_nnerr_pair(to_cfhw(videos[vi]),
+                                             to_cfhw(preds[vi]),
+                                             p, s, pt, st)
+                fwd_row.append(f)
+                bwd_row.append(b)
             nn_fwd.append(fwd_row)
             nn_bwd.append(bwd_row)
 

@@ -19,6 +19,8 @@ def compute_nnerr(src, tar, patch_size=7, stride=2, patcht_size=7,
                   stridet=2, macro_block=65):
     """src, tar: (3, F, H, W) float arrays.  Mean L1 between every source
     patch and its temporal NN target patch, averaged over macro blocks.
+    ``compute_nnerr_pair`` returns (src->tar, tar->src) from one shared
+    distance computation (the evaluator needs both directions).
 
     TPU note: on non-CPU backends the patches are extracted with the
     MXU-friendly flat (identity-kernel conv) form — the same path the
@@ -32,6 +34,23 @@ def compute_nnerr(src, tar, patch_size=7, stride=2, patcht_size=7,
     Y identically, so distances and the selected-patch L1 are
     unchanged.
     """
+    fwd, _ = _nnerr_impl(src, tar, patch_size, stride, patcht_size,
+                         stridet, macro_block, pair=False)
+    return fwd
+
+
+def compute_nnerr_pair(src, tar, patch_size=7, stride=2, patcht_size=7,
+                       stridet=2, macro_block=65):
+    """(compute_nnerr(src, tar), compute_nnerr(tar, src)) sharing one
+    per-frame distance computation: the backward temporal-patch distance
+    matrix is exactly the transpose of the forward one, so both
+    directions cost one GEMM (the evaluator's nnf/nnb columns)."""
+    return _nnerr_impl(src, tar, patch_size, stride, patcht_size,
+                       stridet, macro_block, pair=True)
+
+
+def _nnerr_impl(src, tar, patch_size, stride, patcht_size, stridet,
+                macro_block, pair):
     src = np.asarray(src, np.float32)
     tar = np.asarray(tar, np.float32)
     psz = (patcht_size, patch_size, patch_size)
@@ -50,7 +69,8 @@ def compute_nnerr(src, tar, patch_size=7, stride=2, patcht_size=7,
     # float()-per-block loop costs 10-60 min per full-scale eval); the
     # jitted fn is cached across calls so per-view invocations at the
     # same shapes reuse the executable
-    fn = _block_err_fn(psz, strides, jax.default_backend() != "cpu")
+    fn = _block_err_fn(psz, strides, jax.default_backend() != "cpu",
+                       pair)
     s_crops = jnp.asarray(np.stack(
         [src[..., h0:h0 + macro, w0:w0 + macro]
          for h0 in hs for w0 in ws]))
@@ -58,36 +78,81 @@ def compute_nnerr(src, tar, patch_size=7, stride=2, patcht_size=7,
         [tar[..., h0:h0 + macro, w0:w0 + macro]
          for h0 in hs for w0 in ws]))
     errs = fn(s_crops, t_crops)
-    return float(np.mean(np.asarray(errs)))
+    if pair:
+        return (float(np.mean(np.asarray(errs[0]))),
+                float(np.mean(np.asarray(errs[1]))))
+    return float(np.mean(np.asarray(errs))), None
 
 
 _block_err_cache = {}
 
 
-def _block_err_fn(psz, strides, use_flat):
-    key = (psz, strides, use_flat)
+def _block_err_fn(psz, strides, use_flat, pair=False):
+    """Per-macro-block NN error, TEMPORALLY DECOMPOSED.
+
+    Temporal patches at stride ``st`` share all but ``st`` frames with
+    their neighbors, so the (ntx, nty) temporal-patch distance matrix is
+    a banded sum of ONE per-frame patch distance matrix:
+
+        dist(i, j) = sum_k d1(i*st + k, j*st + k),  k in [0, pt)
+
+    Computing d1 (F x F at per-frame patch dim) instead of the direct
+    (ntx x nty at pt*fdim) matrix cuts the GEMM FLOPs 3-5x at the eval
+    scales (F^2 vs ntx*nty*pt) and materializes pt-times less patch
+    data.  Exact up to float summation order (argmin ties; value-tested
+    against the direct form).  The selected-NN L1 is likewise averaged
+    per frame: mean_k |Py[j*st+k] - Px[i*st+k]|.
+
+    pair=True additionally returns the reverse-direction error from the
+    same banded matrix (dist_bwd == dist_fwd^T)."""
+    key = (psz, strides, use_flat, pair)
     if key in _block_err_cache:
         return _block_err_cache[key]
 
+    (pt, ph, pw), (st, sh, sw) = psz, strides
+
     def block_err(s_crop, t_crop):
+        fpsz, fstr = (1, ph, pw), (1, sh, sw)
         if use_flat:
-            Xp = P.extract_patches_flat(s_crop, psz, strides)
-            Yp = P.extract_patches_flat(t_crop, psz, strides)
-            ntx, nh, nw, dim = Xp.shape
-            nty = Yp.shape[0]
+            Px = P.extract_patches_flat(s_crop, fpsz, fstr)
+            Py = P.extract_patches_flat(t_crop, fpsz, fstr)
         else:
-            Xp8 = P.extract_patches_3d(s_crop, psz, strides)
-            Yp8 = P.extract_patches_3d(t_crop, psz, strides)
-            ntx, nh, nw = Xp8.shape[:3]
-            dim = int(np.prod(Xp8.shape[3:]))
-            Xp = Xp8.reshape(ntx, nh, nw, dim)
-            Yp = Yp8.reshape(Yp8.shape[0], nh, nw, dim)
-            nty = Yp.shape[0]
-        Xf = Xp.reshape(ntx, nh * nw, dim).transpose(1, 0, 2)
-        Yf = Yp.reshape(nty, nh * nw, dim).transpose(1, 0, 2)
-        nns = P.nn_indices(Xf, Yf, None)
-        sel = jnp.take_along_axis(Yf, nns[..., None], axis=1)
-        return jnp.mean(jnp.abs(sel - Xf))
+            Px8 = P.extract_patches_3d(s_crop, fpsz, fstr)
+            Px = Px8.reshape(Px8.shape[:3] + (-1,))
+            Py8 = P.extract_patches_3d(t_crop, fpsz, fstr)
+            Py = Py8.reshape(Py8.shape[:3] + (-1,))
+        Fx, nh, nw, fdim = Px.shape
+        Fy = Py.shape[0]
+        ntx = (Fx - pt) // st + 1
+        nty = (Fy - pt) // st + 1
+        Xf = Px.reshape(Fx, nh * nw, fdim).transpose(1, 0, 2)
+        Yf = Py.reshape(Fy, nh * nw, fdim).transpose(1, 0, 2)
+        d1 = P._pairwise_sqdist(Xf, Yf)              # (ncol, Fx, Fy)
+        dist = sum(
+            jax.lax.slice(d1, (0, k, k),
+                          (d1.shape[0], k + (ntx - 1) * st + 1,
+                           k + (nty - 1) * st + 1), (1, st, st))
+            for k in range(pt))                      # (ncol, ntx, nty)
+        def sel_err(d, A, B, na, nb):
+            # mean_k |B[nn(a)*st+k] - A[a*st+k]| with nn = argmin rows
+            nns = jnp.argmin(d, axis=2)              # (ncol, na)
+            err = 0.0
+            for k in range(pt):
+                ak = jax.lax.slice(A, (0, k, 0),
+                                   (A.shape[0], k + (na - 1) * st + 1,
+                                    fdim), (1, st, 1))
+                bk = jax.lax.slice(B, (0, k, 0),
+                                   (B.shape[0], k + (nb - 1) * st + 1,
+                                    fdim), (1, st, 1))
+                sel = jnp.take_along_axis(bk, nns[..., None], axis=1)
+                err = err + jnp.mean(jnp.abs(sel - ak))
+            return err / pt
+
+        fwd = sel_err(dist, Xf, Yf, ntx, nty)
+        if not pair:
+            return fwd
+        bwd = sel_err(jnp.swapaxes(dist, 1, 2), Yf, Xf, nty, ntx)
+        return fwd, bwd
 
     fn = jax.jit(jax.vmap(block_err))
     _block_err_cache[key] = fn
