@@ -426,3 +426,18 @@ def test_fast_stage1_sparse_grad_render_equivalence():
         a, b = np.asarray(ga[key]), np.asarray(gb[key])
         rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-12)
         assert rel < 2e-5, (key, rel)
+
+    # --compact_tiles wiring on MPMesh: a forced patch-active bound
+    # must leave the adjoint gradients bit-identical
+    from videoloop3d_tpu.render.adjoint import active_tile_bound
+    model_c, _, _ = build(True)
+    model_c.active_tiles = tuple(
+        active_tile_bound(model_c.geom, tm, np.asarray(ext),
+                          np.asarray(intr), h, w, [(0, 0)], margin=1)
+        for tm in (model_c.tile_map_static, model_c.tile_map_dyn))
+    lc = float(loss(model_c, params))
+    assert np.isclose(lc, lb, rtol=1e-7)
+    gc = jax.grad(lambda p: loss(model_c, p))(params)
+    for key in ("atlas", "atlas_dyn"):
+        assert np.array_equal(np.asarray(gb[key]), np.asarray(gc[key])), \
+            key

@@ -143,12 +143,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "gathers/decode/composite skip culled planes "
                         "(exact; see render/compact.py)")
     p.add_argument("--compact_tiles", action="store_true",
-                   help="stage-2 tile-compaction: the per-tile adjoint "
-                        "backward loops only over tiles whose footprint "
-                        "can reach the training patch (~20% at "
-                        "production scale; exact — see "
+                   help="tile-compaction: the per-tile adjoint backward "
+                        "loops only over tiles whose footprint can "
+                        "reach the training patch (~20% at production "
+                        "scale; exact — see "
                         "render/adjoint.py:active_tile_bound); needs "
-                        "--fast_stage2_grad")
+                        "--fast_stage2_grad (stage 2) / "
+                        "--fast_stage1_grad (stage-1 post-cull phase)")
     p.add_argument("--patch_batch", type=int, default=1,
                    help="stage-1 patches optimized jointly per step "
                         "(amortizes per-step overhead on TPU; 1 = "

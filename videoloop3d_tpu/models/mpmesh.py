@@ -209,6 +209,9 @@ class MPMesh:
         # flipped by the trainer at epoch >= optimize_geo_start (a
         # trace-time switch: the step is rebuilt; ref MPI.py:152-156)
         self.optimize_geometry = False
+        # --compact_tiles: static patch-active tile bounds (static, dyn)
+        # set by the trainer (render/adjoint.py:active_tile_bound)
+        self.active_tiles = None
         self._adj_cache = {}
 
     @classmethod
@@ -223,6 +226,7 @@ class MPMesh:
         obj.tile_map_dyn = None
         obj.tile_hw = None
         obj.optimize_geometry = False
+        obj.active_tiles = None
         obj._adj_cache = {}
         return obj
 
@@ -263,15 +267,19 @@ class MPMesh:
         # the samplers bake in tile_positions(tile_map_*) — key on the
         # map identities too so a re-cull / checkpoint reload at the same
         # geometry can't serve stale packed-tile positions
-        key = (self.geom, id(self.tile_map_static), id(self.tile_map_dyn))
+        act = self.active_tiles
+        key = (self.geom, id(self.tile_map_static), id(self.tile_map_dyn),
+               act)
         if key not in self._adj_cache:
             win = ADJ.tile_window_for(self.geom, (self.H, self.W))
             span = self.geom.tile_span
             self._adj_cache[key] = (
                 ADJ.make_tile_adjoint(
-                    ADJ.tile_positions(self.tile_map_static), span, win),
+                    ADJ.tile_positions(self.tile_map_static), span, win,
+                    active_t=act[0] if act else None),
                 ADJ.make_tile_adjoint(
-                    ADJ.tile_positions(self.tile_map_dyn), span, win))
+                    ADJ.tile_positions(self.tile_map_dyn), span, win,
+                    active_t=act[1] if act else None))
         return self._adj_cache[key]
 
     # ------------------------------------------------------------------

@@ -307,6 +307,33 @@ def train(args, progress_cb=None):
         (args.patch_h_stride, args.patch_w_stride), poses, intrins,
         args.vid2img_mode)
 
+    def set_active_tiles():
+        """--compact_tiles for the post-cull phase: bound the per-tile
+        adjoint's loop to the tiles any (view, patch-origin) pair can
+        reach (exact; render/adjoint.py:active_tile_bound — the 0.55 px
+        jitter margin covers --add_intrin_noise)."""
+        model.active_tiles = None
+        if not (getattr(args, "compact_tiles", False) and model.is_sparse
+                and args.fast_stage1_grad):
+            return
+        from videoloop3d_tpu.render.adjoint import active_tile_bound
+        exts = cameras.pose_to_extrinsic(dataset.poses)
+        ph, pw = args.patch_h_size, args.patch_w_size
+        bounds = []
+        for tm in (model.tile_map_static, model.tile_map_dyn):
+            n_tiles = int((np.asarray(tm) >= 0).sum())
+            t = active_tile_bound(model.geom, tm, exts, dataset.intrins,
+                                  ph, pw, dataset.origins)
+            bounds.append(t if t < n_tiles else None)
+        if any(b is not None for b in bounds):
+            model.active_tiles = tuple(bounds)
+        print(f"[stage1] tile-compaction: active <= "
+              f"{bounds[0]}/{bounds[1]} tiles"
+              + ("" if model.active_tiles else " (no win; off)"))
+
+    if model.is_sparse:
+        set_active_tiles()
+
     from videoloop3d_tpu.parallel import distributed as dist
 
     # per-view image/loopmask visualisation dumps (ref train_3d.py:265-272)
@@ -409,6 +436,7 @@ def train(args, progress_cb=None):
                 rm_first_layers=args.sparsify_rmfirstlayer)
             print(f"[stage1] tile culling: keep {cull_info['keep_frac']:.1%}"
                   f" of tiles, {cull_info['dyn_frac']:.1%} dynamic")
+            set_active_tiles()
             params = replicate_params(params)
             step_fn, opt_init, weight_keys = build_step()
             opt_state = opt_init(params)
