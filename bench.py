@@ -336,6 +336,11 @@ def main():
                          "bound on the adjoint backward), ON like the "
                          "shipped configs; --no-compact_tiles for the "
                          "full per-tile loop")
+    ap.add_argument("--blocked_lookup",
+                    action=argparse.BooleanOptionalAction, default=False,
+                    help="bench with the blocked tile-map lookup "
+                         "(one block fetch per (plane, scanline); "
+                         "exact — renderer.tile_lookup2_blocked)")
     ap.add_argument("--no_remat", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="bench with --no_render_remat (keep render "
@@ -420,6 +425,14 @@ def main():
         if any(b is not None for b in bounds):
             model.active_tiles = tuple(bounds)
         info["active_tiles"] = bounds
+    if opts.blocked_lookup:
+        from videoloop3d_tpu.render.renderer import lookup_span_bound
+        spans = lookup_span_bound(model.geom,
+                                  np.asarray(batch["extrin"]),
+                                  np.asarray(batch["intrin"]), ph, pw,
+                                  [(0, 0)])
+        model.lookup_spans = spans
+        info["lookup_spans"] = spans
     if opts.verbose:
         print("setup:", info, file=sys.stderr)
         print("devices:", jax.devices(), file=sys.stderr)

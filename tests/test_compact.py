@@ -85,22 +85,33 @@ def test_compact_render_and_grad_equivalence():
         active_tile_bound(model_a.geom, tm, np.asarray(ext),
                           np.asarray(intr), h, w, [(0, 0)], margin=1)
         for tm in (model_a.tile_map_static, model_a.tile_map_dyn))
+    # ... plus the blocked tile-map lookup on top
+    model_e, _, _, _, _ = _build(True)
+    model_e.compact_slots = S
+    model_e.active_tiles = model_d.active_tiles
+    model_e.lookup_spans = R.lookup_span_bound(
+        model_a.geom, np.asarray(ext), np.asarray(intr), h, w, [(0, 0)])
 
     (la, ra) = loss(model_a, params)
     (lb, rb) = loss(model_b, params)
     (lc, rc) = loss(model_c, params)
     (ld, rd) = loss(model_d, params)
+    (le, re) = loss(model_e, params)
     assert np.allclose(np.asarray(ra), np.asarray(rb), atol=1e-6)
     assert np.allclose(np.asarray(ra), np.asarray(rc), atol=1e-6)
     assert np.allclose(np.asarray(ra), np.asarray(rd), atol=1e-6)
+    # the blocked lookup yields IDENTICAL k/u/v -> bit-identical render
+    assert np.array_equal(np.asarray(rd), np.asarray(re))
     assert np.isclose(float(la), float(lb), rtol=1e-6)
     assert np.isclose(float(la), float(lc), rtol=1e-6)
     assert np.isclose(float(la), float(ld), rtol=1e-6)
+    assert float(ld) == float(le)
 
     ga = jax.grad(lambda p: loss(model_a, p)[0])(params)
     gb = jax.grad(lambda p: loss(model_b, p)[0])(params)
     gc = jax.grad(lambda p: loss(model_c, p)[0])(params)
     gd = jax.grad(lambda p: loss(model_d, p)[0])(params)
+    ge = jax.grad(lambda p: loss(model_e, p)[0])(params)
     for key in ("atlas", "atlas_dyn"):
         a = np.asarray(ga[key])
         for name, g in (("plain", gb), ("adjoint", gc),
@@ -108,9 +119,12 @@ def test_compact_render_and_grad_equivalence():
             b = np.asarray(g[key])
             rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-12)
             assert rel < 2e-5, (key, name, rel)
-    # tile-compaction must be bit-identical to the uncompacted adjoint
+    # tile-compaction must be bit-identical to the uncompacted adjoint,
+    # and the blocked lookup bit-identical on top
     for key in ("atlas", "atlas_dyn"):
         assert np.array_equal(np.asarray(gc[key]), np.asarray(gd[key])), \
+            key
+        assert np.array_equal(np.asarray(gd[key]), np.asarray(ge[key])), \
             key
 
 

@@ -211,3 +211,64 @@ def test_create_occlusion_near_plane_wins():
     center = np.asarray(rgb[0, h // 2, w // 2, :3])
     assert center[1] > 0.99 and center[0] < 0.01, (
         f"near (green) plane must win, got {center}")
+
+
+def test_blocked_tile_lookup_matches_plain():
+    """tile_lookup2_blocked == tile_lookup2 for every valid pixel, with
+    spans from lookup_span_bound, across views/origins/jitter."""
+    rng = np.random.default_rng(11)
+    h, w = 32, 40
+    ph, pw = 20, 24
+    intrin = np.array([[40.0, 0, w / 2], [0, 40.0, h / 2], [0, 0, 1]],
+                      np.float32)
+    km = intrin.copy()
+    km[0, 2] += 10
+    km[1, 2] += 8
+    geom = MPIGeometry(
+        n_planes=3, mpi_h=49, mpi_w=61, n_tiles_h=4, n_tiles_w=6,
+        near=1.5, far=6.0, depths=(5.0, 3.0, 2.0),
+        ref_intrin_mpi=tuple(tuple(float(v) for v in r) for r in km),
+        ref_extrin=tuple(tuple(float(v) for v in r) for r in np.eye(4)))
+
+    n_tiles = geom.n_planes * geom.n_tiles_h * geom.n_tiles_w
+    tm_a = np.full(n_tiles, -1, np.int32)
+    tm_b = np.full(n_tiles, -1, np.int32)
+    ka = rng.random(n_tiles) < 0.6
+    kb = rng.random(n_tiles) < 0.3
+    tm_a[ka] = np.arange(ka.sum())
+    tm_b[kb] = np.arange(kb.sum())
+    shape3 = (geom.n_planes, geom.n_tiles_h, geom.n_tiles_w)
+    tm_a = tm_a.reshape(shape3)
+    tm_b = tm_b.reshape(shape3)
+
+    exts, intrs = [], []
+    for vi in range(3):
+        e = np.eye(4, dtype=np.float32)
+        e[:3, 3] = rng.uniform(-0.15, 0.15, 3)
+        exts.append(e)
+        intrs.append(intrin)
+    origins = [(0, 0), (8, 4), (16, 12)]
+
+    from videoloop3d_tpu.core import cameras
+    spans = R.lookup_span_bound(geom, np.stack(exts), np.stack(intrs),
+                                ph, pw, origins)
+    Ti, J = spans
+    assert 1 <= Ti <= geom.n_tiles_h and 1 <= J <= geom.n_tiles_w
+
+    for vi in range(3):
+        for w0, h0 in origins:
+            pintr = cameras.shift_intrinsic(intrs[vi], h0, w0)
+            # runtime intrinsic jitter inside the +-0.55 envelope
+            pj = pintr.copy()
+            pj[0, 2] += rng.uniform(-0.5, 0.5)
+            pj[1, 2] += rng.uniform(-0.5, 0.5)
+            coords = R.warp_coordinates(
+                geom, jnp.asarray(exts[vi])[None],
+                jnp.asarray(pj)[None], ph, pw)
+            ka1, kb1, fu1, fv1 = R.tile_lookup2(geom, tm_a, tm_b, coords)
+            ka2, kb2, fu2, fv2 = R.tile_lookup2_blocked(
+                geom, tm_a, tm_b, coords, spans)
+            assert np.array_equal(np.asarray(ka1), np.asarray(ka2))
+            assert np.array_equal(np.asarray(kb1), np.asarray(kb2))
+            assert np.array_equal(np.asarray(fu1), np.asarray(fu2))
+            assert np.array_equal(np.asarray(fv1), np.asarray(fv2))

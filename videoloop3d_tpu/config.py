@@ -150,6 +150,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "render/adjoint.py:active_tile_bound); needs "
                         "--fast_stage2_grad (stage 2) / "
                         "--fast_stage1_grad (stage-1 post-cull phase)")
+    p.add_argument("--blocked_lookup", action="store_true",
+                   help="stage-2 blocked tile-map lookup: fetch one "
+                        "(Ti, J) tile-map block per (plane, scanline) "
+                        "instead of one element gather per (plane, "
+                        "pixel) (exact; see "
+                        "render/renderer.py:tile_lookup2_blocked)")
     p.add_argument("--patch_batch", type=int, default=1,
                    help="stage-1 patches optimized jointly per step "
                         "(amortizes per-step overhead on TPU; 1 = "

@@ -66,6 +66,12 @@ class MPMeshVid:
         # per-tile adjoint backward then loops over the bound instead of
         # every packed tile.  None disables.
         self.active_tiles = None
+        # --blocked_lookup: static (Ti, J) scanline span bound set by
+        # the trainer (renderer.lookup_span_bound); the tile-map lookup
+        # then fetches one block per (plane, row) instead of one element
+        # per (plane, pixel).  None disables; training-only (the bound
+        # covers the dataset's views/origins, not arbitrary eval poses).
+        self.lookup_spans = None
 
     # ------------------------------------------------------------------
     # Dynamic-atlas layout: TILE-MAJOR with a trailing frame axis —
@@ -264,9 +270,14 @@ class MPMeshVid:
         if self.is_sparse:
             from videoloop3d_tpu.render.sample import \
                 bilinear_tiles_tilemajor
-            k_s, k_d, fu, fv = R.tile_lookup2(
-                self.geom, self.tile_map_static, self.tile_map_dyn,
-                sample_coords)
+            if training and self.lookup_spans is not None:
+                k_s, k_d, fu, fv = R.tile_lookup2_blocked(
+                    self.geom, self.tile_map_static, self.tile_map_dyn,
+                    sample_coords, self.lookup_spans)
+            else:
+                k_s, k_d, fu, fv = R.tile_lookup2(
+                    self.geom, self.tile_map_static, self.tile_map_dyn,
+                    sample_coords)
             atlas_s = params["atlas"].astype(self.gather_dtype)
             dyn = params["atlas_dyn"].astype(self.gather_dtype)
             if ts is not None:                         # None = all frames

@@ -119,6 +119,149 @@ def tile_lookup2(geom: MPIGeometry, tile_map_a, tile_map_b,
     return k_a, k_b, fu, fv
 
 
+def tile_lookup2_blocked(geom: MPIGeometry, tile_map_a, tile_map_b,
+                         coords: WarpCoords, spans):
+    """`tile_lookup2` with per-(plane, scanline) BLOCK map fetches.
+
+    The per-sample element gather of `tile_lookup2` costs one
+    descriptor per (plane, pixel) — ~40% of the forward's descriptor
+    budget at production scale (D*h*w rows vs S*h*w*3 texel rows).  A
+    scanline of one plane only touches a small (Ti, J) window of the
+    tile grid (a homography restricted to a scanline is monotone), so
+    fetch ONE (Ti, J, 2) block per (plane, row) — D*h descriptors
+    instead of D*h*w — and select each pixel's entry inside the tiny
+    block with exact one-hot f32 contractions on the MXU (packed tile
+    counts < 2^24 are exact in f32).
+
+    spans: (Ti, J) STATIC ints from `lookup_span_bound` — an upper
+    bound on any scanline's tile-row/-column span for every
+    (view, patch origin) the dataset can feed, jitter/uv-noise
+    widened.  Exact whenever the bound holds (the bound construction
+    takes the envelope over the 4 jitter corner intrinsics, so this is
+    guaranteed for the trainer's inputs); pixels with coords.valid
+    False may select arbitrary in-grid entries, exactly like
+    `tile_lookup2` they are masked to -1.
+
+    Returns (k_a, k_b, fu, fv) identical to `tile_lookup2`.
+    """
+    Ti, J = spans
+    sy, sx = geom.tile_span
+    nth, ntw = geom.n_tiles_h, geom.n_tiles_w
+    Ti = min(int(Ti), nth)
+    J = min(int(J), ntw)
+    j = jnp.clip(jnp.floor(coords.x / sx).astype(jnp.int32),
+                 0, ntw - 1)
+    i = jnp.clip(jnp.floor(coords.y / sy).astype(jnp.int32),
+                 0, nth - 1)
+    fu = (coords.x - j.astype(coords.x.dtype) * sx) / sx
+    fv = (coords.y - i.astype(coords.y.dtype) * sy) / sy
+
+    both = jnp.stack([jnp.asarray(tile_map_a), jnp.asarray(tile_map_b)],
+                     axis=-1)                          # (D, nth, ntw, 2)
+    assert both.shape[0] * nth * ntw < (1 << 24)       # f32-exact ids
+    B, D, H, W = i.shape
+    # block origin per (b, d, row) over the row's VALID pixels (invalid
+    # pixels are masked to -1 downstream; their selection may read any
+    # in-grid entry)
+    i0 = jnp.min(jnp.where(coords.valid, i, nth - 1), axis=-1)
+    j0 = jnp.min(jnp.where(coords.valid, j, ntw - 1), axis=-1)
+    i0 = jnp.minimum(i0, nth - Ti)                     # (B, D, H)
+    j0 = jnp.minimum(j0, ntw - J)
+    dd = jnp.broadcast_to(
+        jnp.arange(D, dtype=jnp.int32)[None, :, None], (B, D, H))
+    starts = jnp.stack([dd, i0, j0], axis=-1).reshape(-1, 3)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(0,),
+        start_index_map=(0, 1, 2))
+    blocks = jax.lax.gather(both, starts, dn, (1, Ti, J, 2),
+                            mode=jax.lax.GatherScatterMode.CLIP)
+    blocks = blocks.reshape(B, D, H, Ti, J, 2).astype(jnp.float32)
+
+    hi = jax.lax.Precision.HIGHEST
+    c = (j - j0[..., None]).astype(jnp.int32)          # (B, D, H, W)
+    r = (i - i0[..., None]).astype(jnp.int32)
+    oh_c = (c[..., None] == jnp.arange(J, dtype=jnp.int32)
+            ).astype(jnp.float32)                      # (B, D, H, W, J)
+    sel_t = jnp.einsum("bdhwj,bdhtjc->bdhwtc", oh_c, blocks,
+                       precision=hi)                   # (B, D, H, W, Ti, 2)
+    oh_r = (r[..., None] == jnp.arange(Ti, dtype=jnp.int32)
+            ).astype(jnp.float32)
+    g = jnp.einsum("bdhwt,bdhwtc->bdhwc", oh_r, sel_t, precision=hi)
+    g = g.astype(jnp.int32)                            # exact integers
+    k_a = jnp.where(coords.valid, g[..., 0], -1)
+    k_b = jnp.where(coords.valid, g[..., 1], -1)
+    return k_a, k_b, fu, fv
+
+
+def lookup_span_bound(geom: MPIGeometry, extrins, intrins, ph, pw,
+                      origins, jitter_px=0.55, uv_noise=0.0):
+    """Static (Ti, J) span bound for `tile_lookup2_blocked`.
+
+    For every (view, patch origin) pair the dataset can feed, evaluate
+    the plane warp at the FOUR jitter-corner intrinsics (the warp is
+    monotone in each pixel offset, so the corners bound the whole
+    +-jitter_px rectangle exactly), widen by the uv-noise amplitude
+    (virtual-texel units, `add_texel_noise`), and take the max
+    per-(plane, row) tile-row/-column span over pixels that could be
+    valid.  Host-side, once per pyramid level.
+
+    extrins: (V, 4, 4) RELATIVE extrinsics; intrins: (V, 3, 3) at the
+    level's full resolution; origins: (n, 2) of (w0, h0) patch starts.
+    """
+    import numpy as np
+
+    from videoloop3d_tpu.core import cameras
+
+    sy, sx = geom.tile_span
+    nth, ntw = geom.n_tiles_h, geom.n_tiles_w
+    origins = np.asarray(origins)
+    corners = [(-jitter_px, -jitter_px), (-jitter_px, jitter_px),
+               (jitter_px, -jitter_px), (jitter_px, jitter_px)]
+
+    # one jitted, batched warp per view: B = 4 corners x n_origins,
+    # reduced to per-(plane, row) spans ON DEVICE (the full coord
+    # stacks never reach the host)
+    def spans(ext, pintrs):
+        cd = warp_coordinates(geom, ext, pintrs, ph, pw)
+        big = 1e9
+        maybe = cd.valid.reshape(4, -1, *cd.valid.shape[1:]).any(0)
+        x = cd.x.reshape(4, -1, *cd.x.shape[1:])
+        y = cd.y.reshape(4, -1, *cd.y.shape[1:])
+        x_lo = jnp.where(maybe, x.min(0) - uv_noise, big)
+        x_hi = jnp.where(maybe, x.max(0) + uv_noise, -big)
+        y_lo = jnp.where(maybe, y.min(0) - uv_noise, big)
+        y_hi = jnp.where(maybe, y.max(0) + uv_noise, -big)
+        j_lo = jnp.clip(jnp.floor(x_lo.min(-1) / sx), 0, ntw - 1)
+        j_hi = jnp.clip(jnp.floor(x_hi.max(-1) / sx), 0, ntw - 1)
+        i_lo = jnp.clip(jnp.floor(y_lo.min(-1) / sy), 0, nth - 1)
+        i_hi = jnp.clip(jnp.floor(y_hi.max(-1) / sy), 0, nth - 1)
+        row_any = maybe.any(-1)
+        sj = jnp.where(row_any, j_hi - j_lo + 1, 0)
+        si = jnp.where(row_any, i_hi - i_lo + 1, 0)
+        return jnp.max(si), jnp.max(sj)
+
+    spans_j = jax.jit(spans)
+    max_i, max_j = 1, 1
+    for vi in range(len(extrins)):
+        pintrs = []
+        for dy, dx in corners:
+            for w0, h0 in origins:
+                pc = cameras.shift_intrinsic(
+                    np.asarray(intrins[vi], np.float32), h0, w0)
+                pc[0, 2] += dx
+                pc[1, 2] += dy
+                pintrs.append(pc)
+        B = len(pintrs)
+        ext = np.broadcast_to(np.asarray(extrins[vi], np.float32),
+                              (B, 4, 4))
+        si, sj = spans_j(jnp.asarray(ext),
+                         jnp.asarray(np.stack(pintrs)))
+        max_i = max(max_i, int(si))
+        max_j = max(max_j, int(sj))
+    # +1 tile safety margin on top of the exact envelope
+    return (min(max_i + 1, nth), min(max_j + 1, ntw))
+
+
 def sample_sparse(tiles, k, fu, fv):
     """Gather packed tiles: tiles (N, th, tw, C), k/fu/fv from tile_lookup.
     Returns ((B,D,H,W,C) values, (B,D,H,W) hit-mask)."""

@@ -596,6 +596,23 @@ def train(args, progress_cb=None):
             print(f"[stage2] l{pyr_i} tile-compaction: active <= "
                   f"{bounds[0]}/{bounds[1]} tiles"
                   + ("" if model.active_tiles else " (no win; off)"))
+        # blocked tile-map lookup: one (Ti, J) block fetch per
+        # (plane, scanline) instead of one element gather per
+        # (plane, pixel) — Ti/J statically bound the per-scanline tile
+        # span over the level's (view, origin) pairs
+        model.lookup_spans = None
+        if getattr(args, "blocked_lookup", False) and model.is_sparse:
+            from videoloop3d_tpu.render import renderer
+            spans = renderer.lookup_span_bound(
+                model.geom, cameras.pose_to_extrinsic(dataset.poses),
+                dataset.intrins, ph, pw, dataset.origins,
+                uv_noise=1.0 if args.add_uv_noise else 0.0)
+            nth, ntw = model.geom.n_tiles_h, model.geom.n_tiles_w
+            if spans[0] * spans[1] < nth * ntw:
+                model.lookup_spans = spans
+            print(f"[stage2] l{pyr_i} blocked lookup: spans "
+                  f"{spans[0]}x{spans[1]} of {nth}x{ntw} tiles"
+                  + ("" if model.lookup_spans else " (no win; off)"))
         # the level's padded videos live on device ONCE; per-step
         # batches carry only (view, origin) and the step crops on device
         # (each host->device upload pins host memory on axon, see
