@@ -341,6 +341,11 @@ def main():
                     help="bench with the blocked tile-map lookup "
                          "(one block fetch per (plane, scanline); "
                          "exact — renderer.tile_lookup2_blocked)")
+    ap.add_argument("--fast_nn_dist",
+                    action=argparse.BooleanOptionalAction, default=False,
+                    help="bench with the temporally-decomposed NN "
+                         "search in the GPNN loss (exact up to argmin "
+                         "ties — losses/patch_nn.py)")
     ap.add_argument("--no_remat", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="bench with --no_render_remat (keep render "
@@ -425,6 +430,9 @@ def main():
         if any(b is not None for b in bounds):
             model.active_tiles = tuple(bounds)
         info["active_tiles"] = bounds
+    if opts.fast_nn_dist:
+        from videoloop3d_tpu.losses.patch_nn import set_fast_nn_dist
+        set_fast_nn_dist(True)
     if opts.blocked_lookup:
         from videoloop3d_tpu.render.renderer import lookup_span_bound
         spans = lookup_span_bound(model.geom,

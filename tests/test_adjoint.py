@@ -441,3 +441,16 @@ def test_fast_stage1_sparse_grad_render_equivalence():
     for key in ("atlas", "atlas_dyn"):
         assert np.array_equal(np.asarray(gb[key]), np.asarray(gc[key])), \
             key
+
+    # --blocked_lookup wiring on MPMesh: identical k/u/v -> bit-identical
+    from videoloop3d_tpu.render.renderer import lookup_span_bound
+    model_d, _, _ = build(True)
+    model_d.active_tiles = model_c.active_tiles
+    model_d.lookup_spans = lookup_span_bound(
+        model_d.geom, np.asarray(ext), np.asarray(intr), h, w, [(0, 0)])
+    ld = float(loss(model_d, params))
+    assert ld == lc
+    gd = jax.grad(lambda p: loss(model_d, p))(params)
+    for key in ("atlas", "atlas_dyn"):
+        assert np.array_equal(np.asarray(gc[key]), np.asarray(gd[key])), \
+            key

@@ -322,3 +322,36 @@ def test_flat_extract_and_fold_match_reshape_path():
     folded_flat = np.asarray(P.fold_patches_flat(
         jnp.asarray(flat), 3, psz, strides))
     assert np.allclose(folded_flat, folded_ref, atol=1e-5)
+
+
+def test_fast_nn_dist_matches_direct():
+    """--fast_nn_dist (temporally-decomposed NN retarget) must match the
+    direct formulation: same NN targets and fold, with and without the
+    alpha completeness normalization, for stridet 1 and 2."""
+    rng = np.random.default_rng(21)
+    C, T, H, W = 3, 9, 17, 19
+    base = rng.random((C, 1, H, W), dtype=np.float32)
+    x = (base + 0.15 * rng.random((C, T, H, W))).astype(np.float32)
+    y = (np.roll(x, 3, axis=1)
+         + 0.03 * rng.random((C, T, H, W))).astype(np.float32)
+    try:
+        for pt, st in ((3, 1), (4, 2)):
+            psz, strides = (pt, 3, 3), (st, 2, 2)
+            fh = P.fit_patch_size(H, 3, 2)
+            fw = P.fit_patch_size(W, 3, 2)
+            ft = P.fit_patch_size(T, pt, st)
+            xs = x[:, :ft, :fh, :fw]
+            ys = y[:, :ft, :fh, :fw]
+            for alpha in (None, 10000.0):
+                P.set_fast_nn_dist(False)
+                want = np.asarray(P.nn_retarget(
+                    jnp.asarray(xs), jnp.asarray(ys), psz, strides,
+                    alpha))
+                P.set_fast_nn_dist(True)
+                got = np.asarray(P.nn_retarget(
+                    jnp.asarray(xs), jnp.asarray(ys), psz, strides,
+                    alpha))
+                assert np.allclose(got, want, atol=2e-5), (
+                    pt, st, alpha, np.abs(got - want).max())
+    finally:
+        P.set_fast_nn_dist(False)

@@ -150,6 +150,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "render/adjoint.py:active_tile_bound); needs "
                         "--fast_stage2_grad (stage 2) / "
                         "--fast_stage1_grad (stage-1 post-cull phase)")
+    p.add_argument("--fast_nn_dist", action="store_true",
+                   help="temporally-decomposed NN search in the GPNN "
+                        "losses: per-frame distance matrices + banded "
+                        "sums instead of full spatio-temporal patch "
+                        "distances (F^2 vs ntx*nty*pt GEMM FLOPs; "
+                        "exact up to float summation order / argmin "
+                        "ties — see losses/patch_nn.py)")
     p.add_argument("--blocked_lookup", action="store_true",
                    help="stage-2 blocked tile-map lookup: fetch one "
                         "(Ti, J) tile-map block per (plane, scanline) "

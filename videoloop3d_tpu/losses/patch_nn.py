@@ -228,6 +228,66 @@ def nn_indices(X, Y, alpha=None, dist_fn="mse"):
     return jnp.argmin(dist, axis=2)
 
 
+# --fast_nn_dist: temporally-decomposed NN search in the training losses
+# (set by the trainers from args; module-level because the loss registry
+# call chain is deep).  Exact up to float summation order — argmin ties
+# may resolve differently.
+FAST_NN_DIST = False
+
+
+def set_fast_nn_dist(on: bool) -> None:
+    global FAST_NN_DIST
+    FAST_NN_DIST = bool(on)
+
+
+def nn_indices_from_dist(dist, alpha=None):
+    """`nn_indices` on a precomputed (B, n, m) distance matrix."""
+    if alpha is not None:
+        col_min = jnp.min(dist, axis=1, keepdims=True)
+        dist = dist / (alpha + col_min)
+    return jnp.argmin(dist, axis=2)
+
+
+def _nn_retarget_temporal(x, y, psz, strides, alpha):
+    """`nn_retarget`, temporally decomposed (see eval/nnmse.py for the
+    derivation): temporal patches at stride st share all but st frames,
+    so the (ntx, nty) patch distance matrix is a banded sum of ONE
+    per-frame patch distance matrix — F^2 vs ntx*nty*pt GEMM FLOPs and
+    pt-times less patch materialization (the layout-padding relief
+    matters most for the 11x11 ref-view config).  The banded sum is
+    divided by pt so the alpha completeness normalization sees the same
+    scale as the direct form.  mse distance only."""
+    C = x.shape[0]
+    (pt, p, p2), (st, s, s2) = psz, strides
+    Px = extract_patches_flat(x, (1, p, p2), (1, s, s2))
+    Py = extract_patches_flat(y, (1, p, p2), (1, s, s2))
+    Fx, nh, nw, fdim = Px.shape
+    Fy = Py.shape[0]
+    ntx = (Fx - pt) // st + 1
+    nty = (Fy - pt) // st + 1
+    Xf = Px.reshape(Fx, nh * nw, fdim).transpose(1, 0, 2)
+    Yf = Py.reshape(Fy, nh * nw, fdim).transpose(1, 0, 2)
+    d1 = _pairwise_sqdist(Xf, Yf)                  # (ncol, Fx, Fy)
+    dist = sum(
+        jax.lax.slice(d1, (0, k, k),
+                      (d1.shape[0], k + (ntx - 1) * st + 1,
+                       k + (nty - 1) * st + 1), (1, st, st))
+        for k in range(pt)) / pt                   # (ncol, ntx, nty)
+    nns = nn_indices_from_dist(dist, alpha)        # (ncol, ntx)
+    sel_frames = []
+    for k in range(pt):
+        yk = jax.lax.slice(Yf, (0, k, 0),
+                           (Yf.shape[0], k + (nty - 1) * st + 1, fdim),
+                           (1, st, 1))
+        sk = jnp.take_along_axis(yk, nns[..., None], axis=1)
+        sel_frames.append(sk.reshape(nh * nw, ntx, C, p, p2))
+    # flat channel order is (C, dt, dy, dx): stack dt AFTER C
+    sel = jnp.stack(sel_frames, axis=3)            # (ncol, ntx, C, pt, p, p2)
+    sel = sel.reshape(nh * nw, ntx, C * pt * p * p2)
+    sel = sel.transpose(1, 0, 2).reshape(ntx, nh, nw, -1)
+    return fold_patches_flat(sel, C, psz, strides)
+
+
 def nn_retarget(x, y, psz, strides, alpha=None, dist_fn="mse"):
     """Build the retargeted pseudo-ground-truth: for every 3D patch of x,
     its temporal NN patch of y (same spatial location), folded back.
@@ -241,6 +301,8 @@ def nn_retarget(x, y, psz, strides, alpha=None, dist_fn="mse"):
     # layout padding (minor dims = patch extents) and runs on the MXU,
     # but identity-kernel convs are slow on the CPU backend.
     use_flat = jax.default_backend() != "cpu"
+    if FAST_NN_DIST and dist_fn == "mse" and psz[0] > 1:
+        return _nn_retarget_temporal(x, y, psz, strides, alpha)
     if use_flat:
         Xp = extract_patches_flat(x, psz, strides)  # (ntx, nh, nw, dim)
         Yp = extract_patches_flat(y, psz, strides)

@@ -212,6 +212,9 @@ class MPMesh:
         # --compact_tiles: static patch-active tile bounds (static, dyn)
         # set by the trainer (render/adjoint.py:active_tile_bound)
         self.active_tiles = None
+        # --blocked_lookup: static (Ti, J) scanline span bound set by
+        # the trainer (renderer.lookup_span_bound); training-only
+        self.lookup_spans = None
         self._adj_cache = {}
 
     @classmethod
@@ -227,6 +230,7 @@ class MPMesh:
         obj.tile_hw = None
         obj.optimize_geometry = False
         obj.active_tiles = None
+        obj.lookup_spans = None
         obj._adj_cache = {}
         return obj
 
@@ -373,9 +377,14 @@ class MPMesh:
             rgb_p, alpha_p = self._decode(feats, coords, intrins, extrins,
                                           decoder)
         else:
-            k_s, k_d, fu, fv = R.tile_lookup2(
-                self.geom, self.tile_map_static, self.tile_map_dyn,
-                sample_coords)
+            if training and getattr(self, "lookup_spans", None) is not None:
+                k_s, k_d, fu, fv = R.tile_lookup2_blocked(
+                    self.geom, self.tile_map_static, self.tile_map_dyn,
+                    sample_coords, self.lookup_spans)
+            else:
+                k_s, k_d, fu, fv = R.tile_lookup2(
+                    self.geom, self.tile_map_static, self.tile_map_dyn,
+                    sample_coords)
             B = sample_coords.x.shape[0]
             if (cfg.fast_stage1_grad and training and B == 1
                     and not self.optimize_geometry

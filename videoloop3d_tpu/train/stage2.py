@@ -267,6 +267,7 @@ def save_stage2_checkpoint(path, model, params, pyr_i, epoch,
 
 def train(args, progress_cb=None):
     """Full stage-2 loop.  Returns (model, params, rundir)."""
+    pnl.set_fast_nn_dist(getattr(args, "fast_nn_dist", False))
     expname = args.expname + args.expname_postfix
     datadir = os.path.join(args.prefix, args.datadir)
     expdir = os.path.join(args.prefix, args.expdir)
