@@ -417,30 +417,19 @@ def main():
         if S < model.geom.n_planes:
             model.compact_slots = S
         info["slots"] = model.compact_slots
-    if opts.compact_tiles and opts.fast_grad:
-        from videoloop3d_tpu.render.adjoint import active_tile_bound
-        bounds = []
-        for tm in (model.tile_map_static, model.tile_map_dyn):
-            n_tiles = int((np.asarray(tm) >= 0).sum())
-            t = active_tile_bound(model.geom, tm,
-                                  np.asarray(batch["extrin"]),
-                                  np.asarray(batch["intrin"]), ph, pw,
-                                  [(0, 0)])
-            bounds.append(t if t < n_tiles else None)
-        if any(b is not None for b in bounds):
-            model.active_tiles = tuple(bounds)
-        info["active_tiles"] = bounds
+    if opts.compact_tiles or opts.blocked_lookup:
+        from videoloop3d_tpu.train.common import set_sparse_fastpath_bounds
+        args.compact_tiles = opts.compact_tiles
+        args.blocked_lookup = opts.blocked_lookup
+        set_sparse_fastpath_bounds(
+            model, args, np.asarray(batch["extrin"]),
+            np.asarray(batch["intrin"]), ph, pw, [(0, 0)], "[bench]",
+            opts.fast_grad)
+        info["active_tiles"] = model.active_tiles
+        info["lookup_spans"] = model.lookup_spans
     if opts.fast_nn_dist:
         from videoloop3d_tpu.losses.patch_nn import set_fast_nn_dist
         set_fast_nn_dist(True)
-    if opts.blocked_lookup:
-        from videoloop3d_tpu.render.renderer import lookup_span_bound
-        spans = lookup_span_bound(model.geom,
-                                  np.asarray(batch["extrin"]),
-                                  np.asarray(batch["intrin"]), ph, pw,
-                                  [(0, 0)])
-        model.lookup_spans = spans
-        info["lookup_spans"] = spans
     if opts.verbose:
         print("setup:", info, file=sys.stderr)
         print("devices:", jax.devices(), file=sys.stderr)

@@ -128,11 +128,7 @@ def _block_err_fn(psz, strides, use_flat, pair=False):
         Xf = Px.reshape(Fx, nh * nw, fdim).transpose(1, 0, 2)
         Yf = Py.reshape(Fy, nh * nw, fdim).transpose(1, 0, 2)
         d1 = P._pairwise_sqdist(Xf, Yf)              # (ncol, Fx, Fy)
-        dist = sum(
-            jax.lax.slice(d1, (0, k, k),
-                          (d1.shape[0], k + (ntx - 1) * st + 1,
-                           k + (nty - 1) * st + 1), (1, st, st))
-            for k in range(pt))                      # (ncol, ntx, nty)
+        dist = P.banded_temporal_dist(d1, pt, st, ntx, nty)
         def sel_err(d, A, B, na, nb):
             # mean_k |B[nn(a)*st+k] - A[a*st+k]| with nn = argmin rows
             nns = jnp.argmin(d, axis=2)              # (ncol, na)

@@ -221,11 +221,7 @@ def nn_indices(X, Y, alpha=None, dist_fn="mse"):
     optional completeness normalization: distances are divided column-wise
     by (alpha + min_i dist(i, j)) so rarely-used targets become cheaper
     (the paper's alpha term; ref utils_vid.py:122-142)."""
-    dist = DIST_FNS[dist_fn](X, Y)
-    if alpha is not None:
-        col_min = jnp.min(dist, axis=1, keepdims=True)     # (B, 1, m)
-        dist = dist / (alpha + col_min)
-    return jnp.argmin(dist, axis=2)
+    return nn_indices_from_dist(DIST_FNS[dist_fn](X, Y), alpha)
 
 
 # --fast_nn_dist: temporally-decomposed NN search in the training losses
@@ -248,6 +244,18 @@ def nn_indices_from_dist(dist, alpha=None):
     return jnp.argmin(dist, axis=2)
 
 
+def banded_temporal_dist(d1, pt, st, ntx, nty):
+    """Temporal-patch distances as a banded sum of per-frame distances:
+    dist(i, j) = sum_k d1(i*st + k, j*st + k), k in [0, pt).  d1:
+    (B, Fx, Fy) per-frame patch distances.  Shared by the training-loss
+    decomposition below and the eval NN metrics (eval/nnmse.py)."""
+    return sum(
+        jax.lax.slice(d1, (0, k, k),
+                      (d1.shape[0], k + (ntx - 1) * st + 1,
+                       k + (nty - 1) * st + 1), (1, st, st))
+        for k in range(pt))
+
+
 def _nn_retarget_temporal(x, y, psz, strides, alpha):
     """`nn_retarget`, temporally decomposed (see eval/nnmse.py for the
     derivation): temporal patches at stride st share all but st frames,
@@ -259,8 +267,14 @@ def _nn_retarget_temporal(x, y, psz, strides, alpha):
     scale as the direct form.  mse distance only."""
     C = x.shape[0]
     (pt, p, p2), (st, s, s2) = psz, strides
-    Px = extract_patches_flat(x, (1, p, p2), (1, s, s2))
-    Py = extract_patches_flat(y, (1, p, p2), (1, s, s2))
+    if jax.default_backend() != "cpu":
+        Px = extract_patches_flat(x, (1, p, p2), (1, s, s2))
+        Py = extract_patches_flat(y, (1, p, p2), (1, s, s2))
+    else:          # identity-kernel convs are slow on the CPU backend
+        Px8 = extract_patches_3d(x, (1, p, p2), (1, s, s2))
+        Px = Px8.reshape(Px8.shape[:3] + (-1,))
+        Py8 = extract_patches_3d(y, (1, p, p2), (1, s, s2))
+        Py = Py8.reshape(Py8.shape[:3] + (-1,))
     Fx, nh, nw, fdim = Px.shape
     Fy = Py.shape[0]
     ntx = (Fx - pt) // st + 1
@@ -268,11 +282,7 @@ def _nn_retarget_temporal(x, y, psz, strides, alpha):
     Xf = Px.reshape(Fx, nh * nw, fdim).transpose(1, 0, 2)
     Yf = Py.reshape(Fy, nh * nw, fdim).transpose(1, 0, 2)
     d1 = _pairwise_sqdist(Xf, Yf)                  # (ncol, Fx, Fy)
-    dist = sum(
-        jax.lax.slice(d1, (0, k, k),
-                      (d1.shape[0], k + (ntx - 1) * st + 1,
-                       k + (nty - 1) * st + 1), (1, st, st))
-        for k in range(pt)) / pt                   # (ncol, ntx, nty)
+    dist = banded_temporal_dist(d1, pt, st, ntx, nty) / pt
     nns = nn_indices_from_dist(dist, alpha)        # (ncol, ntx)
     sel_frames = []
     for k in range(pt):

@@ -242,22 +242,30 @@ def lookup_span_bound(geom: MPIGeometry, extrins, intrins, ph, pw,
 
     spans_j = jax.jit(spans)
     max_i, max_j = 1, 1
+    # chunk the origin fan-out: the (4 corners x chunk) warp coordinate
+    # stacks are a large HBM transient at production scale (the step
+    # itself sits near the 16 GB edge); 4 origins keeps it ~constant
+    ochunk = 4
+    n_orig = len(origins)
     for vi in range(len(extrins)):
-        pintrs = []
-        for dy, dx in corners:
-            for w0, h0 in origins:
-                pc = cameras.shift_intrinsic(
-                    np.asarray(intrins[vi], np.float32), h0, w0)
-                pc[0, 2] += dx
-                pc[1, 2] += dy
-                pintrs.append(pc)
-        B = len(pintrs)
-        ext = np.broadcast_to(np.asarray(extrins[vi], np.float32),
-                              (B, 4, 4))
-        si, sj = spans_j(jnp.asarray(ext),
-                         jnp.asarray(np.stack(pintrs)))
-        max_i = max(max_i, int(si))
-        max_j = max(max_j, int(sj))
+        for o0 in range(0, n_orig, ochunk):
+            sel = [origins[min(oi, n_orig - 1)]
+                   for oi in range(o0, o0 + ochunk)]   # pad by repeat
+            pintrs = []
+            for dy, dx in corners:
+                for w0, h0 in sel:
+                    pc = cameras.shift_intrinsic(
+                        np.asarray(intrins[vi], np.float32), h0, w0)
+                    pc[0, 2] += dx
+                    pc[1, 2] += dy
+                    pintrs.append(pc)
+            B = len(pintrs)
+            ext = np.broadcast_to(np.asarray(extrins[vi], np.float32),
+                                  (B, 4, 4))
+            si, sj = spans_j(jnp.asarray(ext),
+                             jnp.asarray(np.stack(pintrs)))
+            max_i = max(max_i, int(si))
+            max_j = max(max_j, int(sj))
     # +1 tile safety margin on top of the exact envelope
     return (min(max_i + 1, nth), min(max_j + 1, ntw))
 

@@ -145,3 +145,47 @@ def jitter_intrinsic(intrin, rng: np.random.Generator):
     out = np.array(intrin, copy=True)
     out[..., :2, 2] += rng.random(2) - 0.5
     return out
+
+
+def set_sparse_fastpath_bounds(model, args, exts, intrins, ph, pw,
+                               origins, tag, fast_grad_on):
+    """Shared --compact_tiles / --blocked_lookup bound setup for a
+    sparse model (one copy for both trainers and the bench — the four
+    call sites had already started to drift).
+
+    ph, pw MUST be the dataset's EFFECTIVE patch size
+    (dataset.patch_size — PatchSampler clamps to the full image for
+    small scenes), exts/intrins/origins the dataset's full view set.
+    Sets model.active_tiles and model.lookup_spans (None = off) and
+    prints one status line per bound.
+    """
+    uv = 1.0 if getattr(args, "add_uv_noise", False) else 0.0
+    model.active_tiles = None
+    if (getattr(args, "compact_tiles", False) and model.is_sparse
+            and fast_grad_on and uv == 0.0):
+        # uv noise moves samples across tile borders BEFORE the lookup;
+        # the projected-bbox activity test does not model it, so the
+        # compaction stays off under --add_uv_noise (exactness first)
+        from videoloop3d_tpu.render.adjoint import active_tile_bound
+        bounds = []
+        for tm in (model.tile_map_static, model.tile_map_dyn):
+            n_tiles = int(np.asarray(tm >= 0).sum())
+            t = active_tile_bound(model.geom, tm, exts, intrins,
+                                  ph, pw, origins)
+            bounds.append(t if t < n_tiles else None)
+        if any(b is not None for b in bounds):
+            model.active_tiles = tuple(bounds)
+        print(f"{tag} tile-compaction: active <= "
+              f"{bounds[0]}/{bounds[1]} tiles"
+              + ("" if model.active_tiles else " (no win; off)"))
+    model.lookup_spans = None
+    if getattr(args, "blocked_lookup", False) and model.is_sparse:
+        from videoloop3d_tpu.render.renderer import lookup_span_bound
+        spans = lookup_span_bound(model.geom, exts, intrins, ph, pw,
+                                  origins, uv_noise=uv)
+        nth, ntw = model.geom.n_tiles_h, model.geom.n_tiles_w
+        if spans[0] * spans[1] < nth * ntw:
+            model.lookup_spans = spans
+        print(f"{tag} blocked lookup: spans "
+              f"{spans[0]}x{spans[1]} of {nth}x{ntw} tiles"
+              + ("" if model.lookup_spans else " (no win; off)"))

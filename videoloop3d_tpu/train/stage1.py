@@ -308,43 +308,15 @@ def train(args, progress_cb=None):
         args.vid2img_mode)
 
     def set_sparse_bounds():
-        """Post-cull static bounds: --compact_tiles bounds the per-tile
-        adjoint's loop to the tiles any (view, patch-origin) pair can
-        reach (exact; render/adjoint.py:active_tile_bound — the 0.55 px
-        jitter margin covers --add_intrin_noise), --blocked_lookup
-        bounds the per-scanline tile span for the blocked tile-map
-        fetch (renderer.lookup_span_bound)."""
-        exts = cameras.pose_to_extrinsic(dataset.poses)
-        ph, pw = args.patch_h_size, args.patch_w_size
-        model.active_tiles = None
-        if (getattr(args, "compact_tiles", False) and model.is_sparse
-                and args.fast_stage1_grad):
-            from videoloop3d_tpu.render.adjoint import active_tile_bound
-            bounds = []
-            for tm in (model.tile_map_static, model.tile_map_dyn):
-                n_tiles = int((np.asarray(tm) >= 0).sum())
-                t = active_tile_bound(model.geom, tm, exts,
-                                      dataset.intrins, ph, pw,
-                                      dataset.origins)
-                bounds.append(t if t < n_tiles else None)
-            if any(b is not None for b in bounds):
-                model.active_tiles = tuple(bounds)
-            print(f"[stage1] tile-compaction: active <= "
-                  f"{bounds[0]}/{bounds[1]} tiles"
-                  + ("" if model.active_tiles else " (no win; off)"))
-        model.lookup_spans = None
-        if getattr(args, "blocked_lookup", False) and model.is_sparse:
-            from videoloop3d_tpu.render.renderer import lookup_span_bound
-            spans = lookup_span_bound(
-                model.geom, exts, dataset.intrins, ph, pw,
-                dataset.origins,
-                uv_noise=1.0 if args.add_uv_noise else 0.0)
-            nth, ntw = model.geom.n_tiles_h, model.geom.n_tiles_w
-            if spans[0] * spans[1] < nth * ntw:
-                model.lookup_spans = spans
-            print(f"[stage1] blocked lookup: spans "
-                  f"{spans[0]}x{spans[1]} of {nth}x{ntw} tiles"
-                  + ("" if model.lookup_spans else " (no win; off)"))
+        """Post-cull --compact_tiles / --blocked_lookup bounds
+        (common.set_sparse_fastpath_bounds; NOTE dataset.patch_size,
+        not args patch size — PatchSampler clamps to the full image on
+        small scenes)."""
+        common.set_sparse_fastpath_bounds(
+            model, args, cameras.pose_to_extrinsic(dataset.poses),
+            dataset.intrins, dataset.patch_size[0],
+            dataset.patch_size[1], dataset.origins, "[stage1]",
+            args.fast_stage1_grad)
 
     if model.is_sparse:
         set_sparse_bounds()

@@ -577,43 +577,13 @@ def train(args, progress_cb=None):
             print(f"[stage2] l{pyr_i} hit-compaction: "
                   f"S={S} of D={model.geom.n_planes}"
                   + ("" if model.compact_slots else " (no win; off)"))
-        # tile-compaction bound: the dataset's patch-origin tiling is
-        # fixed per level, so the max patch-active tile count over all
-        # (view, origin) pairs statically bounds every training step
-        model.active_tiles = None
-        if (getattr(args, "compact_tiles", False) and model.is_sparse
-                and args.fast_stage2_grad):
-            from videoloop3d_tpu.render.adjoint import active_tile_bound
-            exts = cameras.pose_to_extrinsic(dataset.poses)
-            bounds = []
-            for tm in (model.tile_map_static, model.tile_map_dyn):
-                n_tiles = int((np.asarray(tm) >= 0).sum())
-                t = active_tile_bound(model.geom, tm, exts,
-                                      dataset.intrins, ph, pw,
-                                      dataset.origins)
-                bounds.append(t if t < n_tiles else None)
-            if any(b is not None for b in bounds):
-                model.active_tiles = tuple(bounds)
-            print(f"[stage2] l{pyr_i} tile-compaction: active <= "
-                  f"{bounds[0]}/{bounds[1]} tiles"
-                  + ("" if model.active_tiles else " (no win; off)"))
-        # blocked tile-map lookup: one (Ti, J) block fetch per
-        # (plane, scanline) instead of one element gather per
-        # (plane, pixel) — Ti/J statically bound the per-scanline tile
-        # span over the level's (view, origin) pairs
-        model.lookup_spans = None
-        if getattr(args, "blocked_lookup", False) and model.is_sparse:
-            from videoloop3d_tpu.render import renderer
-            spans = renderer.lookup_span_bound(
-                model.geom, cameras.pose_to_extrinsic(dataset.poses),
-                dataset.intrins, ph, pw, dataset.origins,
-                uv_noise=1.0 if args.add_uv_noise else 0.0)
-            nth, ntw = model.geom.n_tiles_h, model.geom.n_tiles_w
-            if spans[0] * spans[1] < nth * ntw:
-                model.lookup_spans = spans
-            print(f"[stage2] l{pyr_i} blocked lookup: spans "
-                  f"{spans[0]}x{spans[1]} of {nth}x{ntw} tiles"
-                  + ("" if model.lookup_spans else " (no win; off)"))
+        # --compact_tiles / --blocked_lookup bounds: the dataset's
+        # patch-origin tiling is fixed per level, so static bounds over
+        # all (view, origin) pairs cover every training step
+        common.set_sparse_fastpath_bounds(
+            model, args, cameras.pose_to_extrinsic(dataset.poses),
+            dataset.intrins, ph, pw, dataset.origins,
+            f"[stage2] l{pyr_i}", args.fast_stage2_grad)
         # the level's padded videos live on device ONCE; per-step
         # batches carry only (view, origin) and the step crops on device
         # (each host->device upload pins host memory on axon, see
