@@ -23,4 +23,22 @@ run "C_plus_blocked_lookup" --blocked_lookup
 run "D_plus_fast_nn_dist" --blocked_lookup --fast_nn_dist
 # decomposition of the best variant
 run "E_split_best" --blocked_lookup --fast_nn_dist --split
+
+# NN-metric probe at full eval scale ON THE CHIP: the decomposed
+# (per-frame extraction) program family may sidestep the old
+# patcht=7/stridet=1 worker crash entirely
+echo "=== F_nnmse_tpu ($(date +%H:%M:%S)) ===" >> "$LOG"
+timeout 900 python - >> "$LOG" 2>&1 <<'EOF' || echo "FAILED rc=$?" >> "$LOG"
+import time
+import numpy as np
+from videoloop3d_tpu.eval import nnmse as NN
+rng = np.random.default_rng(0)
+src = rng.random((3, 50, 280, 560), dtype=np.float32)
+tar = rng.random((3, 50, 280, 560), dtype=np.float32)
+for p, s, pt, st in ((5, 2, 7, 1), (11, 4, 5, 1), (17, 6, 3, 1)):
+    t0 = time.time()
+    f, b = NN.compute_nnerr_pair(src, tar, p, s, pt, st)
+    print(f"nnmse_pair p{p}s{s}t{pt}st{st}: {time.time()-t0:.1f}s "
+          f"f={f:.4f} b={b:.4f}", flush=True)
+EOF
 echo "DONE $(date +%H:%M:%S)" >> "$LOG"
