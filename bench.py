@@ -86,17 +86,21 @@ def hw_utilization(compiled, step_ms, info, model, batch):
         out["hbm_util_pct"] = round(100 * bts / t_s / V5E_PEAK_HBM_BPS, 2)
 
     # analytic descriptor count for the packed sparse samplers:
-    # per sampled (layer, pixel): 2 corner-row gathers static
-    # (pair-packed rows) + 2 dynamic (quad-packed F*C rows); adjoint
-    # backward replays them.  Under --compact_hits the texel gathers run
-    # at the compacted slot volume; the tile-map lookup (1 paired
-    # descriptor per (plane, pixel)) always runs at the full volume.
+    # per sampled (layer, pixel): 1 static corner gather (quad-packed
+    # 2x2 row) + 2 dynamic (u-paired F*C rows).  Under --compact_hits
+    # the texel gathers run at the compacted slot volume; the tile-map
+    # lookup is 1 paired descriptor per (plane, pixel) at FULL plane
+    # volume, or 1 block per (plane, row) with --blocked_lookup.  The
+    # adjoint backward's row-gather window extraction adds
+    # ~tiles * window/ry descriptors (small); we count the forward
+    # texel gathers twice as a conservative stand-in.
     ph, pw = info["patch"]
     D = info["planes"]
     layers = info.get("slots") or D
     samples = layers * ph * pw
-    desc_fwd = samples * (2 + 2) + D * ph * pw
-    desc = desc_fwd * 2                       # + adjoint backward replay
+    lookup = D * ph if info.get("lookup_spans") else D * ph * pw
+    desc_fwd = samples * 3 + lookup
+    desc = desc_fwd + samples * 3             # + adjoint backward
     out["gather_desc_per_step"] = int(desc)
     out["desc_per_s"] = round(desc / t_s / 1e6, 1)   # Mdesc/s
     out["desc_rate_vs_ceiling_pct"] = round(
