@@ -277,14 +277,17 @@ class MPMesh:
         if key not in self._adj_cache:
             win = ADJ.tile_window_for(self.geom, (self.H, self.W))
             span = self.geom.tile_span
+            # the value keeps the keyed map ARRAYS alive so a reload
+            # can never recycle their id()s into a stale cache hit
             self._adj_cache[key] = (
+                self.tile_map_static, self.tile_map_dyn,
                 ADJ.make_tile_adjoint(
                     ADJ.tile_positions(self.tile_map_static), span, win,
                     active_t=act[0] if act else None),
                 ADJ.make_tile_adjoint(
                     ADJ.tile_positions(self.tile_map_dyn), span, win,
                     active_t=act[1] if act else None))
-        return self._adj_cache[key]
+        return self._adj_cache[key][2:]
 
     # ------------------------------------------------------------------
     def _decode(self, feats, coords, intrins, extrins, decoder=None):

@@ -215,12 +215,15 @@ class MPMeshVid:
             span = self.geom.tile_span
             make = ADJ.make_tile_adjoint_compacted if compacted \
                 else ADJ.make_tile_adjoint
+            # the value keeps the keyed map ARRAYS alive so a reload
+            # can never recycle their id()s into a stale cache hit
             self._adj_cache[key] = (
+                self.tile_map_static, self.tile_map_dyn,
                 make(ADJ.tile_positions(self.tile_map_static), span, win,
                      active_t=act[0] if act else None),
                 make(ADJ.tile_positions(self.tile_map_dyn), span, win,
                      active_t=act[1] if act else None))
-        return self._adj_cache[key]
+        return self._adj_cache[key][2:]
 
     def render(self, params, h, w, extrins, intrins, ts,
                training=False, rng=None):

@@ -69,7 +69,12 @@ def make_dp_stage1_step(model, args, ph, pw, mesh):
             b["images"] = b.pop("images_sharded")[0]
             b["masks"] = b.pop("masks_sharded")[0]
         local = resolve_image_batch(b, ph, pw)
-        local.pop("wt", None)
+        if "wt" in local:
+            # drop wt from the loss inputs WITHOUT mutating `batch`
+            # (resolve_image_batch passes pre-resolved batches through,
+            # so a pop here used to delete batch["wt"] and silently
+            # skip the weight-masked psum below)
+            local = {k: v for k, v in local.items() if k != "wt"}
         my_rng = jax.random.fold_in(rng, jax.lax.axis_index("dp"))
         grads, metrics = jax.grad(
             lambda p: loss_fn(p, local, weights, my_rng),

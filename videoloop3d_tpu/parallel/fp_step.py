@@ -245,9 +245,12 @@ def sharded_swd(x_scaled, y, rng, *, patch_size, patcht_size, stride,
     return jnp.mean(jnp.abs(projx - projy))
 
 
-def fp_supports(losscfg):
+def fp_supports(losscfg, isloop=True):
     """(ok, reason-if-not) — whether the fp (frame-sharded) step covers
     this loss config.  The trainer warns and falls back to dp when not."""
+    if not isloop:
+        return False, "fp sharding's ring-halo wrap IS the loop pad; " \
+                      "non-loop (--mpv_isloop off) configs run dp-only"
     name = losscfg.get("loss_name")
     if name == "swd":
         if losscfg.get("stridet", 1) != 1:
@@ -276,7 +279,7 @@ def make_fp_stage2_step(model, args, ph, pw, losscfg, mesh,
     group_fn = opt_lib.make_group_fn(args.optimize_verts_gain)
     cfg = dict(losscfg)
     loss_name = cfg.pop("loss_name")
-    ok, why = fp_supports(losscfg)
+    ok, why = fp_supports(losscfg, isloop=model.isloop)
     assert ok, why
     if loss_name == "gpnn":
         # macro-block-free direct variant == one full-rectangle crop
@@ -337,6 +340,16 @@ def make_fp_stage2_step(model, args, ph, pw, losscfg, mesh,
                     scaling=cfg["scaling"],
                     macro_block=cfg["macro_block"],
                     fp_size=S, frm_num=model.frm_num) * loss_gain
+            # jax.grad runs INSIDE shard_map and both losses all_gather
+            # the grad-carrying frames; the gather's transpose
+            # (psum_scatter) sums the S identical per-shard cotangents,
+            # scaling the main term's gradient by fp_size while the
+            # pmean'd extras stay 1x (measured: exactly S x the
+            # single-device gradient).  Descale the cotangent — value
+            # unchanged — so the fp step optimizes the single-device
+            # objective exactly (tests/test_fp_sharding.py::
+            # test_fp_worker_grad_matches_single_device).
+            main = main / S + jax.lax.stop_gradient(main - main / S)
 
             extra = local_model.training_extras(variables, loss_gain)
             extra = {k: jax.lax.pmean(v, "fp") for k, v in extra.items()}

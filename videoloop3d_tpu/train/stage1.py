@@ -485,7 +485,11 @@ def train(args, progress_cb=None):
             queues = [[] for _ in range(nproc)]
             for item in dataset.iter_epoch(np_rng, shuffle=True):
                 queues[owner[item["view"]]].append(item)
-            n_b = max(-(-len(q) // rows_pp) for q in queues if q)
+            assert all(queues), (
+                "--shard_views needs every process to own >= 1 view "
+                "(fillers must be process-local); reduce the process "
+                "count or add views")
+            n_b = max(-(-len(q) // rows_pp) for q in queues)
             feed = []
             for b in range(n_b):
                 chunk, wts = [], []

@@ -406,7 +406,7 @@ def train(args, progress_cb=None):
                                                       make_fp_stage2_step)
         n_dp = mesh.shape["dp"]
         if mesh.shape["fp"] > 1:
-            ok, why = fp_supports(item_cfg)
+            ok, why = fp_supports(item_cfg, isloop=model.isloop)
             if ok:
                 step, init = make_fp_stage2_step(model, args, ph, pw,
                                                  item_cfg, mesh)
@@ -500,6 +500,10 @@ def train(args, progress_cb=None):
                 p = owner_pos[it["view"]]
                 if filler[p] is None:
                     filler[p] = it
+        assert all(f is not None for f in filler), (
+            "--shard_views needs every process to own >= 1 trained view "
+            "(fillers must be process-local); reduce the process count "
+            "or add views")
         batches = []
         if _dp_serial(sum(len(v) for v in groups.values())):
             # serial (B=1) feeding under --shard_views: the real patch
@@ -686,9 +690,16 @@ def train(args, progress_cb=None):
                         "h0": np.asarray(h0s, np.int32),
                         "w0": np.asarray(w0s, np.int32),
                     }
-                if wts is not None and mesh is not None \
-                        and "wt" not in batch:
-                    batch["wt"] = np.asarray(wts, np.float32)
+                if mesh is not None and "wt" not in batch:
+                    # ALWAYS carry wt under a mesh (ones for full
+                    # batches): batches with and without the key have
+                    # different pytree structures and would force a
+                    # second full compile of the jitted step at the
+                    # first partial batch (weighted psum with ones
+                    # == pmean, exactly)
+                    batch["wt"] = (np.asarray(wts, np.float32)
+                                   if wts is not None
+                                   else np.ones(len(views), np.float32))
                 if mesh is None:
                     batch = {k: jnp.asarray(v) for k, v in batch.items()}
                 else:
