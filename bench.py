@@ -168,7 +168,29 @@ def run_stage1_bench(iters):
             _ = float(m["loss"])
     _ = float(m["loss"])
     step_ms = (_t.perf_counter() - t0) / n * 1000
-    print(json.dumps({"stage1_step_ms": round(step_ms, 2)}))
+    out = {"stage1_step_ms": round(step_ms, 2)}
+    if os.environ.get("VL3D_STAGE1_SPLIT"):
+        # fwd / fwd+bwd decomposition (extra compiles)
+        from videoloop3d_tpu.train.stage1 import make_stage1_loss_fn
+        loss_fn = make_stage1_loss_fn(model, args, ph, pw)
+        fwd = jax.jit(lambda p: loss_fn(p, batch, weights, rngk)[0])
+        fwd_bwd = jax.jit(lambda p: jax.grad(
+            lambda q: loss_fn(q, batch, weights, rngk)[0])(p))
+
+        def timeit(fn):
+            o = fn(params)
+            _ = float(jax.tree.leaves(o)[0].ravel()[0])
+            ts = []
+            for _i in range(iters):
+                t1 = _t.perf_counter()
+                o = fn(params)
+                _ = float(jax.tree.leaves(o)[0].ravel()[0])
+                ts.append(_t.perf_counter() - t1)
+            return round(float(np.median(ts)) * 1000, 1)
+
+        out["stage1_fwd_ms"] = timeit(fwd)
+        out["stage1_fwd_bwd_ms"] = timeit(fwd_bwd)
+    print(json.dumps(out))
 
 
 def build_bench_setup(quick=False, fast_grad=False, no_remat=False):
