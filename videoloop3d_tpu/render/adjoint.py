@@ -1,16 +1,27 @@
-"""Gather-based adjoint for dense plane sampling (experimental).
+"""Scatter-free adjoints for the bilinear texture samplers.
 
 The autodiff backward of the renderer's bilinear gather is an XLA
 scatter-add of corner gradients into the atlas — measured at 0.6GB/s it
-is 66% of the stage-1 step.  This module computes the SAME gradient with
-gathers only ("splat = inverse-warp gather"): every atlas texel collects
-the contributions of the <= window^2 pixels whose sample coordinate
-lands within 1 texel of it.  The candidate pixels are found by mapping
-the texel through the exact forward plane projection (texel -> target
-pixel, the inverse of the sampling homography), and the weights are the
-exact bilinear weights recomputed from the SAVED forward sample
-coordinates — so the gradient is exact whenever the window covers all
-contributors.
+was 66% of the stage-1 step.  This module computes the SAME gradients
+with gathers + MXU contractions only, in two flavors:
+
+1. DENSE planes (stage-1 pre-cull): "splat = inverse-warp gather" —
+   every atlas texel collects the contributions of the <= window^2
+   pixels whose sample coordinate lands within 1 texel of it.  The
+   candidate pixels are found by mapping the texel through the exact
+   forward plane projection (texel -> target pixel, the inverse of the
+   sampling homography), and the weights are the exact bilinear weights
+   recomputed from the SAVED forward sample coordinates — exact
+   whenever the window covers all contributors.
+2. PACKED tiles (stage 2 + stage-1 post-cull): `make_tile_adjoint[...]`
+   slices each packed tile's pixel window from the saved (k, u, v)
+   residuals with row-batched gathers, masks by ownership (k == tile)
+   and contracts exact separable bilinear weights on the MXU — the
+   output IS the packed-tile gradient layout, zero scatters.  Optional
+   compactions: `active_tile_bound` statically drops tiles whose
+   projected footprint cannot reach the training patch, and
+   render/compact.py's hit-compacted variant replays the compacted
+   plane sweep.
 
 Coverage condition: contributors lie within sqrt(2)/sigma_min(J) pixels
 of the texel's pixel-space preimage, where J is the pixel->texel warp
