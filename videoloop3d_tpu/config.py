@@ -186,6 +186,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--disable_auto_resume", action="store_true",
                    help="do not resume from the newest checkpoint in the "
                         "run directory")
+    p.add_argument("--hang_timeout", type=float, default=0.0,
+                   help="seconds without step progress before the "
+                        "process self-terminates (exit 42) for a "
+                        "restart + auto-resume; converts dead-peer "
+                        "collective hangs and wedged device claims into "
+                        "visible failures. Must exceed the worst cold "
+                        "step compile (~70 s on v5e; use >= 600). "
+                        "0 disables")
     p.add_argument("--profile_steps", type=str, default="",
                    help="'start:stop' step window to capture a "
                         "jax.profiler trace")

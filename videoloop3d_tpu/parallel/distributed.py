@@ -223,6 +223,24 @@ def is_primary():
     return jax.process_index() == 0
 
 
+def any_process_flag(flag: bool) -> bool:
+    """OR a host-side bool across processes.
+
+    Used once per epoch to coordinate graceful shutdown: a SIGTERM may
+    reach only one process of a multi-host job, and a process that
+    stopped feeding steps alone would wedge its peers inside the next
+    collective.  COLLECTIVE in multi-process jobs (every process must
+    call it at the same point); plain passthrough single-process."""
+    import jax
+    if jax.process_count() == 1:
+        return bool(flag)
+    import numpy as np
+    from jax.experimental import multihost_utils
+    flags = multihost_utils.process_allgather(
+        np.asarray([bool(flag)]), tiled=True)
+    return bool(flags.any())
+
+
 def gather_for_host(tree):
     """Materialize a (possibly cross-process-sharded) param tree on the
     host for checkpointing.  COLLECTIVE in multi-process jobs: every

@@ -17,10 +17,14 @@ def main(argv=None):
     # initializes (no-op for single-process runs)
     from videoloop3d_tpu.parallel.distributed import maybe_init_from_args
     maybe_init_from_args(args)
-    from videoloop3d_tpu.train import stage1
+    from videoloop3d_tpu.train import common, stage1
 
     np.random.seed(args.seed)
     stage1.train(args)
+    if common.graceful_shutdown().requested:
+        # EX_TEMPFAIL: the run checkpointed and can resume; schedulers
+        # and run_all.sh must not treat the scene as finished
+        raise SystemExit(75)
 
 
 if __name__ == "__main__":

@@ -1,10 +1,15 @@
-"""Shared trainer utilities: run snapshots, logging, scale-invariant gain.
+"""Shared trainer utilities: run snapshots, logging, scale-invariant
+gain, and the failure-handling primitives (graceful shutdown + hang
+watchdog; SURVEY §5 — the reference has no failure story and a crash
+loses up to i_weights epochs).
 """
 from __future__ import annotations
 
 import json
 import os
 import shutil
+import signal
+import threading
 import time
 
 import jax.numpy as jnp
@@ -137,6 +142,117 @@ class Profiler:
             import jax
             jax.profiler.stop_trace()
             self._active = False
+
+
+class GracefulShutdown:
+    """SIGTERM -> checkpoint-and-exit at the next safe point.
+
+    The handler only sets a flag; the trainers poll it after each
+    optimizer step (single-process) and, coordinated via
+    ``distributed.any_process_flag``, at every epoch boundary
+    (multi-host — a mid-epoch break would desync the collective steps).
+    On stop the trainer writes a checkpoint whose epoch metadata makes
+    the deterministic auto-resume re-run the interrupted epoch, so a
+    preemption loses at most the partial epoch's step order, never
+    i_weights epochs of work (the reference's crash cost,
+    ref train_3d.py:312).  Prefer SIGTERM over SIGKILL on the axon
+    runtime anyway: a SIGKILLed TPU process wedges the chip claim.
+
+    Handler installation is skipped off the main thread (tests drive
+    trainers from worker threads; ``signal.signal`` would raise).
+    """
+
+    def __init__(self, install=True):
+        self.requested = False
+        self._prev = None
+        self._installed = False
+        if install:
+            try:
+                self._prev = signal.signal(signal.SIGTERM, self._handler)
+                self._installed = True
+            except ValueError:     # not the main thread
+                pass
+
+    def _handler(self, signum, frame):
+        self.requested = True
+        print("[shutdown] SIGTERM received - checkpointing and exiting "
+              "at the next safe point", flush=True)
+
+    def restore(self):
+        if self._installed:
+            signal.signal(signal.SIGTERM, self._prev or signal.SIG_DFL)
+            self._installed = False
+
+
+_SHUTDOWN = None
+
+
+def graceful_shutdown() -> GracefulShutdown:
+    """Process-wide GracefulShutdown singleton (handlers installed on
+    first use; tools check ``.requested`` after train() to exit 75 =
+    EX_TEMPFAIL so schedulers / run_all.sh treat the run as resumable
+    rather than finished)."""
+    global _SHUTDOWN
+    if _SHUTDOWN is None:
+        _SHUTDOWN = GracefulShutdown()
+    return _SHUTDOWN
+
+
+class HangWatchdog:
+    """Turns a silent hang into a fast, visible failure.
+
+    Failure detection for the multi-host path (SURVEY §5): when a peer
+    process dies, the survivors block forever inside the next collective
+    — no exception, no progress, the job just wedges (the same syndrome
+    as a wedged axon device claim).  A daemon thread checks the step
+    heartbeat; ``timeout_s`` seconds without a ``tick()`` prints a
+    diagnosis and hard-exits the process with code 42 so the scheduler
+    restarts it, and the deterministic auto-resume continues from the
+    latest checkpoint.
+
+    The timeout must cover the worst single gap between ticks — i.e. a
+    cold per-level step compile (~70 s on the v5e for the production
+    stage-1 step, ~12 compiles across the stage-2 pyramid), so shipped
+    configs use 600 s.  0 disables (the default).
+    """
+
+    EXIT_CODE = 42
+
+    def __init__(self, timeout_s, context="", action=None):
+        self.timeout_s = float(timeout_s or 0)
+        self.context = context
+        self._action = action or self._default_action
+        self._last = time.monotonic()
+        self._stop = threading.Event()
+        self._thread = None
+        if self.timeout_s > 0:
+            self._thread = threading.Thread(
+                target=self._run, name=f"hang-watchdog-{context}",
+                daemon=True)
+            self._thread.start()
+
+    def tick(self):
+        self._last = time.monotonic()
+
+    def _run(self):
+        poll = min(5.0, self.timeout_s / 4)
+        while not self._stop.wait(poll):
+            idle = time.monotonic() - self._last
+            if idle > self.timeout_s:
+                self._action(idle)
+                return
+
+    def _default_action(self, idle):
+        import sys
+        print(f"[watchdog] {self.context}: no step progress for "
+              f"{idle:.0f}s (> --hang_timeout {self.timeout_s:.0f}s); "
+              f"assuming a wedged collective/device and exiting "
+              f"{self.EXIT_CODE} for a restart + auto-resume",
+              file=sys.stderr, flush=True)
+        os._exit(self.EXIT_CODE)
+
+    def stop(self):
+        self._stop.set()
 
 
 def jitter_intrinsic(intrin, rng: np.random.Generator):

@@ -401,6 +401,9 @@ def train(args, progress_cb=None):
     key = jax.random.PRNGKey(args.seed)
 
     prof = common.Profiler(args, rundir)
+    shutdown = common.graceful_shutdown()
+    watchdog = common.HangWatchdog(
+        getattr(args, "hang_timeout", 0.0), "stage1")
     total_step = start_epoch * len(dataset)
     metrics = {}
     bsz = max(int(getattr(args, "patch_batch", 1)), 1)
@@ -563,11 +566,21 @@ def train(args, progress_cb=None):
             if total_step % 8 == 0:
                 _ = float(metrics["loss"])
             prof.tick()
+            watchdog.tick()
             if total_step % args.i_img == 0:
                 for k, v in metrics.items():
                     logger.scalar(f"stage1/{k}", float(v), total_step)
                 logger.scalar("stage1/lr", lr, total_step)
             total_step += 1
+            # graceful shutdown, single-process: stop mid-epoch (under a
+            # multi-process mesh the steps are collective, so stopping
+            # alone would wedge the peers — those coordinate at the
+            # epoch boundary below)
+            if shutdown.requested and jax.process_count() == 1:
+                interrupted = True
+                break
+        else:
+            interrupted = False
 
         if metrics and (epoch % max(args.i_print // 10, 1) == 0):
             print(f"[stage1] epoch {epoch} loss={float(metrics['loss']):.4f}"
@@ -575,6 +588,25 @@ def train(args, progress_cb=None):
                   f" ({prof.steps_per_sec():.2f} it/s)")
         if progress_cb is not None:
             progress_cb(epoch, metrics)
+
+        # graceful shutdown: coordinated across processes once per epoch
+        # (any_process_flag is collective — every process reaches this
+        # point, so a SIGTERM delivered to one process stops all)
+        stop = interrupted or dist.any_process_flag(shutdown.requested)
+        if stop:
+            # a mid-epoch interrupt saves with epoch-1 metadata so the
+            # deterministic auto-resume re-runs the partial epoch
+            completed = epoch - 1 if interrupted else epoch
+            if completed >= 0:
+                params_host = dist.gather_for_host(params)
+                if dist.is_primary():
+                    save_stage1_checkpoint(
+                        os.path.join(rundir,
+                                     f"ckpt_epoch_{completed:04d}.npz"),
+                        model, params_host, completed)
+            print(f"[stage1] graceful shutdown at epoch {epoch}: "
+                  f"checkpointed epoch {completed}; rerun to resume")
+            break
 
         if (epoch + 1) % args.i_weights == 0 or epoch == args.N_iters - 1:
             # multi-host: gather is COLLECTIVE (all processes join);
@@ -619,6 +651,7 @@ def train(args, progress_cb=None):
                                       rundir,
                                       f"loopable_epoch_{epoch:04d}"))
 
+    watchdog.stop()
     prof.close()
     logger.close()
     return model, params, rundir

@@ -549,6 +549,10 @@ def train(args, progress_cb=None):
         return batches
 
     prof = common.Profiler(args, rundir)
+    shutdown = common.graceful_shutdown()
+    watchdog = common.HangWatchdog(
+        getattr(args, "hang_timeout", 0.0), "stage2")
+    stopping = False
     epoch_total = 0
     iter_total = 0
     start_level, start_epoch = (max(int(args.pyr_init_level), 0), 0)
@@ -726,11 +730,20 @@ def train(args, progress_cb=None):
                 _ = float(metrics["loss"])
                 del batch
                 prof.tick()
+                watchdog.tick()
                 if (iter_total + 1) % args.i_img == 0:
                     for k, v in metrics.items():
                         logger.scalar(f"stage2/{k}", float(v), iter_total)
                     logger.scalar("stage2/lr", lr, iter_total)
                 iter_total += 1
+                # graceful shutdown, single-process: stop mid-epoch
+                # (multi-process steps are collective; those coordinate
+                # at the epoch boundary below)
+                if shutdown.requested and jax.process_count() == 1:
+                    interrupted = True
+                    break
+            else:
+                interrupted = False
 
             if metrics:
                 print(f"[stage2] l{pyr_i} epoch {epoch} "
@@ -739,6 +752,33 @@ def train(args, progress_cb=None):
                       f"({prof.steps_per_sec():.2f} it/s)")
             if progress_cb is not None:
                 progress_cb(pyr_i, epoch, metrics)
+
+            # graceful shutdown: coordinated across processes once per
+            # epoch (any_process_flag is collective — a SIGTERM delivered
+            # to one process stops all)
+            from videoloop3d_tpu.parallel import distributed as dist
+            stopping = interrupted or dist.any_process_flag(
+                shutdown.requested)
+            if stopping:
+                # mid-epoch interrupt -> epoch-1 metadata so the
+                # deterministic auto-resume re-runs the partial epoch;
+                # at epoch 0 the previous level's end-of-level
+                # checkpoint (or the stage-1 init) is the resume point
+                ce = epoch - 1 if interrupted else epoch
+                cet = epoch_total - 1 if interrupted else epoch_total
+                if ce >= 0:
+                    params_host = dist.gather_for_host(params)
+                    if dist.is_primary():
+                        save_stage2_checkpoint(
+                            os.path.join(
+                                rundir,
+                                f"ckpt_l{pyr_i}_epoch_{ce:04d}.npz"),
+                            model, params_host, pyr_i, ce, cet,
+                            iter_total, factor, hw)
+                print(f"[stage2] graceful shutdown at l{pyr_i} epoch "
+                      f"{epoch}: checkpointed epoch {ce}; rerun to "
+                      f"resume")
+                break
 
             if (epoch_total + 1) % args.i_weights == 0 \
                     or (pyr_i == len(schedule) - 1
@@ -783,7 +823,10 @@ def train(args, progress_cb=None):
                         model.geom, None, full_tile_map(model.geom),
                         os.path.join(rundir, f"mesh_l{pyr_i}_{epoch:04d}"))
             epoch_total += 1
+        if stopping:
+            break
 
+    watchdog.stop()
     prof.close()
     logger.close()
     return model, params, rundir
