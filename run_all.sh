@@ -8,20 +8,51 @@
 #   STAGE=1 ./run_all.sh            # all stage-1 runs
 #   STAGE=2 ./run_all.sh            # all stage-2 runs
 #   SCENES="108fall2 usttap" STAGE=1 ./run_all.sh
-set -euo pipefail
+#
+# Resumable exits are retried: 75 = graceful SIGTERM checkpoint
+# (preemption), 42 = --hang_timeout watchdog (wedged device claim /
+# dead collective peer; the claim self-heals in ~3-5 min, and the
+# deterministic auto-resume continues from the checkpoint).
+set -uo pipefail
 
 STAGE="${STAGE:-1}"
+MAX_RETRIES="${MAX_RETRIES:-5}"
 ALL_SCENES=$(ls configs/mpis | sed 's/\.txt$//')
 SCENES="${SCENES:-$ALL_SCENES}"
+
+run_with_resume() {
+  local tries=0 rc
+  while true; do
+    "$@"
+    rc=$?
+    if [ "$rc" -eq 0 ]; then
+      return 0
+    elif [ "$rc" -eq 75 ] || [ "$rc" -eq 42 ]; then
+      tries=$((tries + 1))
+      if [ "$tries" -gt "$MAX_RETRIES" ]; then
+        echo "!!! giving up after $MAX_RETRIES resumable exits (rc=$rc)"
+        return "$rc"
+      fi
+      echo "--- resumable exit rc=$rc; retrying ($tries/$MAX_RETRIES)" \
+           "in 60s (auto-resume picks up the checkpoint)"
+      sleep 60
+    else
+      echo "!!! failed rc=$rc"
+      return "$rc"
+    fi
+  done
+}
 
 for scene in $SCENES; do
   if [ "$STAGE" = "1" ]; then
     echo "=== stage 1: $scene ==="
-    python -m videoloop3d_tpu.tools.train_3d \
-      --config configs/mpi_base.txt --config1 "configs/mpis/$scene.txt"
+    run_with_resume python -m videoloop3d_tpu.tools.train_3d \
+      --config configs/mpi_base.txt --config1 "configs/mpis/$scene.txt" \
+      || exit $?
   else
     echo "=== stage 2: $scene ==="
-    python -m videoloop3d_tpu.tools.train_3dvid \
-      --config configs/mpv_base.txt --config1 "configs/mpvs/$scene.txt"
+    run_with_resume python -m videoloop3d_tpu.tools.train_3dvid \
+      --config configs/mpv_base.txt --config1 "configs/mpvs/$scene.txt" \
+      || exit $?
   fi
 done
