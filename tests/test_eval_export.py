@@ -193,3 +193,125 @@ def test_save_mesh_preview(tmp_path):
                       str(tmp_path / "mesh"))
     verts, uvs, faces, uvfaces = load_obj(str(tmp_path / "mesh.obj"))
     assert len(faces) == 2 * 2 * 2 * 3      # 2 tris x D x nth x ntw
+
+
+def test_export_viewer_roundtrip_render(tmp_path):
+    """The exported artifacts (geometry.obj + static.png +
+    dynamic/%04d.png), re-rendered by an INDEPENDENT GL-style viewer
+    simulator — C++ rasterizer, perspective-correct varying
+    interpolation, standard normalized texel-center sampling, painter's
+    alpha blending — must reproduce the model's own render to 8-bit
+    quantization accuracy.  This is what the external VideoLoopUI WebGL
+    player computes from these files (ref script_export_mesh.py:76-191),
+    so it pins the vertex/UV/atlas-packing conventions end-to-end.
+
+    The view is the MPI reference camera at the virtual-texel grid
+    resolution, where every plane maps texels 1:1 to pixels — so the
+    raw-vs-activated interpolation-order difference (present in the
+    reference's viewer too) vanishes and the comparison isolates the
+    export layout.  Pixels on inter-tile edges are excluded (the test
+    rasterizer's inclusive edge rule double-draws them; GL fill rules
+    don't)."""
+    import imageio.v2 as iio
+    import jax.numpy as jnp
+    from videoloop3d_tpu.config import parse_args_with_configs
+    from videoloop3d_tpu.export import mesh_export as EX
+    from videoloop3d_tpu.export.objio import load_obj
+    from videoloop3d_tpu.models.mpv import MPMeshVid
+    from videoloop3d_tpu.render import raster_cpp
+
+    H, W, D, F = 25, 31, 4, 3          # integer tile spans (12, 10)
+    intrin = np.array([[30.0, 0, W / 2], [0, 30.0, H / 2], [0, 0, 1]],
+                      np.float32)
+    args = parse_args_with_configs(
+        ["--mpi_h_scale", "1.0", "--mpi_w_scale", "1.0",
+         "--mpi_h_verts", "3", "--mpi_w_verts", "4",
+         "--mpi_d", str(D), "--mpv_frm_num", str(F), "--mpv_isloop"])
+    model = MPMeshVid(args, H, W, np.eye(4, dtype=np.float32), intrin,
+                      1.5, 6.0)
+    g = model.geom
+    rng = np.random.default_rng(3)
+    r = rng.random((g.n_planes, g.n_tiles_h, g.n_tiles_w))
+    tm_s = np.full(r.shape, -1, np.int32)
+    tm_d = np.full(r.shape, -1, np.int32)
+    tm_s[r < 0.5] = np.arange((r < 0.5).sum(), dtype=np.int32)
+    tm_d[r > 0.7] = np.arange((r > 0.7).sum(), dtype=np.int32)
+    model.is_sparse = True
+    model.tile_map_static = tm_s
+    model.tile_map_dyn = tm_d
+    model.tile_hw = g.default_tile_texels()
+    model.base_tile_hw = model.tile_hw
+    th, tw = model.tile_hw
+    ns, nd = int((tm_s >= 0).sum()), int((tm_d >= 0).sum())
+    params = {
+        "atlas": jnp.asarray(rng.standard_normal((ns, th, tw, 4)),
+                             jnp.float32),
+        "atlas_dyn": jnp.asarray(
+            rng.standard_normal((nd, th, tw, F, 4)), jnp.float32),
+    }
+
+    ext = jnp.eye(4, dtype=jnp.float32)[None]
+    kin = jnp.asarray(g.ref_intrin_mpi_np())[None]
+    out, _ = model.render(params, g.mpi_h, g.mpi_w, ext, kin, ts=[0, 2])
+    out = np.asarray(out)
+
+    outdir = EX.export_mtv(
+        str(tmp_path / "mesh"), g,
+        {k: np.asarray(v) for k, v in params.items()}, tm_s, tm_d,
+        {"fov": 60.0, "near": 1.5, "far": 6.0, "up": [0, -1, 0],
+         "lookat": [0, 0, 3.0], "limit": [1, 1, 1]})
+
+    verts6, uvs, faces, uvfaces = load_obj(
+        os.path.join(outdir, "geometry.obj"))
+    pos, col = verts6[:, :3], verts6[:, 3:]
+    static_img = iio.imread(os.path.join(outdir, "static.png")) \
+        .astype(np.float64) / 255.0
+
+    def sample(img, uv):
+        hh, ww = img.shape[:2]
+        x = np.clip(uv[..., 0] * ww - 0.5, 0, ww - 1)
+        y = np.clip((1.0 - uv[..., 1]) * hh - 0.5, 0, hh - 1)
+        x0 = np.floor(x).astype(int)
+        y0 = np.floor(y).astype(int)
+        x1 = np.minimum(x0 + 1, ww - 1)
+        y1 = np.minimum(y0 + 1, hh - 1)
+        fx, fy = (x - x0)[..., None], (y - y0)[..., None]
+        return (img[y0, x0] * (1 - fx) * (1 - fy)
+                + img[y0, x1] * fx * (1 - fy)
+                + img[y1, x0] * (1 - fx) * fy + img[y1, x1] * fx * fy)
+
+    def viewer_render(t):
+        dyn_img = iio.imread(os.path.join(
+            outdir, "dynamic", f"{t:04d}.png")).astype(np.float64) / 255.0
+        sv = raster_cpp.project_vertices(pos, np.eye(4),
+                                         g.ref_intrin_mpi_np())
+        K = g.n_planes + 4
+        p2f, zb, bary = raster_cpp.rasterize(
+            sv, faces.astype(np.int32), g.mpi_h, g.mpi_w, K)
+        # the test rasterizer's inclusive edge rule yields BOTH
+        # triangles of a quad on the shared diagonal; drop same-depth
+        # duplicates (uv there is identical)
+        dup = (p2f[..., 1:] >= 0) & (zb[..., 1:] == zb[..., :-1])
+        p2f[..., 1:][dup] = -1
+        canvas = np.zeros((g.mpi_h, g.mpi_w, 3))
+        is_dyn_face = col[faces[:, 0], 1] > 0.5
+        for k in range(K - 1, -1, -1):            # far -> near
+            f = p2f[..., k]
+            valid = f >= 0
+            fc = np.maximum(f, 0)
+            uv = (uvs[uvfaces[fc]] * bary[..., k, :, None]).sum(-2)
+            rgba = np.where(is_dyn_face[fc][..., None],
+                            sample(dyn_img, uv), sample(static_img, uv))
+            a = rgba[..., 3:] * valid[..., None]
+            canvas = rgba[..., :3] * a + canvas * (1 - a)
+        return canvas
+
+    sy, sx = g.tile_span
+    mask = np.ones((g.mpi_h, g.mpi_w), bool)
+    mask[::int(sy), :] = False
+    mask[:, ::int(sx)] = False
+    assert mask.sum() > 500
+    for i, t in enumerate((0, 2)):
+        diff = np.abs(viewer_render(t) - out[i])[mask]
+        assert diff.max() < 0.012, diff.max()     # 8-bit quantization
+        assert diff.mean() < 0.005, diff.mean()

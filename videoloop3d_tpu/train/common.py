@@ -214,6 +214,12 @@ class HangWatchdog:
     cold per-level step compile (~70 s on the v5e for the production
     stage-1 step, ~12 compiles across the stage-2 pyramid), so shipped
     configs use 600 s.  0 disables (the default).
+
+    Armed for the trainer's whole run; if the trainer RAISES, the
+    daemon thread keeps watching until process exit (fine for the CLIs,
+    which exit on exception — the only place the shipped configs arm
+    it).  Library callers that catch trainer exceptions and keep the
+    process alive should keep hang_timeout at 0 or call ``stop()``.
     """
 
     EXIT_CODE = 42
