@@ -209,3 +209,67 @@ def test_cli_sigterm_checkpoints_exits_75_and_resumes(tmp_path):
                           capture_output=True, text=True, timeout=600)
     assert out2.returncode == 0, out2.stdout[-2000:] + out2.stderr[-500:]
     assert "auto-resuming" in out2.stdout, out2.stdout[-2000:]
+
+
+def test_multihost_sigterm_stops_both_processes():
+    """Coordinated multi-host graceful stop: SIGTERM delivered to ONLY
+    process 1 of a 2-process dp-mesh stage-1 job must stop BOTH
+    processes at the same epoch boundary (the per-epoch
+    any_process_flag OR), and the PRIMARY — process 0, which was never
+    signaled — must write the shutdown checkpoint."""
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    if "XLA_FLAGS" in env:
+        env["XLA_FLAGS"] = re.sub(
+            r"--xla_force_host_platform_device_count=\d+", "",
+            env["XLA_FLAGS"]).strip()
+        if not env["XLA_FLAGS"]:
+            del env["XLA_FLAGS"]
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = [subprocess.Popen(
+        [sys.executable, "-m",
+         "videoloop3d_tpu.parallel.multihost_dryrun",
+         "--process_id", str(i), "--num_processes", "2",
+         "--port", "29539", "--mode", "sigterm_stop"],
+        cwd=root, env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True) for i in range(2)]
+    lines = [[], []]
+    evts = [threading.Event(), threading.Event()]
+
+    def reader(i):
+        for line in procs[i].stdout:
+            lines[i].append(line)
+            if "STOP_DRYRUN_EPOCH" in line:
+                evts[i].set()
+        procs[i].stdout.close()
+
+    threads = [threading.Thread(target=reader, args=(i,), daemon=True)
+               for i in range(2)]
+    for t in threads:
+        t.start()
+    try:
+        # wait until both processes are demonstrably in the epoch loop
+        assert evts[0].wait(timeout=300), "".join(lines[0][-30:])
+        assert evts[1].wait(timeout=300), "".join(lines[1][-30:])
+        procs[1].send_signal(signal.SIGTERM)     # only process 1
+        rcs = [p.wait(timeout=240) for p in procs]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+    for t in threads:
+        t.join(timeout=30)
+    outs = ["".join(ln) for ln in lines]
+    oks = []
+    for i, out in enumerate(outs):
+        assert rcs[i] == 0, (i, rcs[i], out[-2000:])
+        m = re.search(r"MULTIHOST_STOP_OK process=%d signaled=(\d) "
+                      r"stopped_epoch=(\d+) ckpts=(\d+)" % i, out)
+        assert m, (i, out[-2000:])
+        oks.append(tuple(int(g) for g in m.groups()))
+    # only process 1 saw the signal; both stopped at the same epoch;
+    # the unsignaled primary wrote the checkpoint, the peer did not
+    assert oks[0][0] == 0 and oks[1][0] == 1, oks
+    assert oks[0][1] == oks[1][1], oks
+    assert oks[0][2] == 1 and oks[1][2] == 0, oks

@@ -28,7 +28,8 @@ def main(argv=None):
     ap.add_argument("--port", type=int, default=29531)
     ap.add_argument("--local_devices", type=int, default=2)
     ap.add_argument("--mode",
-                    choices=["step", "shard_views", "stage1_sv"],
+                    choices=["step", "shard_views", "stage1_sv",
+                             "sigterm_stop"],
                     default="step")
     opts = ap.parse_args(argv)
 
@@ -51,6 +52,8 @@ def main(argv=None):
         return run_shard_views(opts)
     if opts.mode == "stage1_sv":
         return run_stage1_shard_views(opts)
+    if opts.mode == "sigterm_stop":
+        return run_sigterm_stop(opts)
 
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
@@ -250,6 +253,67 @@ def run_stage1_shard_views(opts):
     print(f"MULTIHOST_S1SV_OK process={jax.process_index()} "
           f"views={','.join(map(str, my_views))} "
           f"host_bytes={host_bytes} loss={losses[-1]:.6f}", flush=True)
+
+
+def run_sigterm_stop(opts):
+    """Coordinated graceful-stop fault injection: the REAL stage-1
+    trainer on a 2-process dp mesh with an effectively unbounded epoch
+    count.  The launcher SIGTERMs ONLY this job's process 1 once both
+    processes print epoch progress; the once-per-epoch
+    ``any_process_flag`` OR must then stop BOTH processes at the same
+    epoch boundary, and the PRIMARY (process 0 — the one that was NOT
+    signaled) must write the shutdown checkpoint."""
+    import tempfile
+
+    import jax
+    import numpy as np
+
+    from videoloop3d_tpu.config import parse_args_with_configs
+    from videoloop3d_tpu.data import synthetic
+    from videoloop3d_tpu.train import common, stage1
+
+    scene_dir = os.path.join(tempfile.gettempdir(),
+                             f"st_dryrun_p{jax.process_index()}", "scene")
+    if not os.path.exists(os.path.join(scene_dir, "poses_bounds.npy")):
+        scene = synthetic.make_scene(n_views=3, h=24, w=32, n_frames=4,
+                                     seed=0)
+        synthetic.write_llff_dir(scene, scene_dir, factor=1)
+
+    root = os.path.dirname(scene_dir)
+    expdir = os.path.join(root, "mpi")
+    rundir = os.path.join(expdir, "st")
+    if os.path.isdir(rundir):          # stale ckpts from a prior run
+        for f in os.listdir(rundir):
+            if f.startswith("ckpt_"):
+                os.remove(os.path.join(rundir, f))
+    argv = ["--datadir", scene_dir, "--expdir", expdir,
+            "--expname", "st", "--factor", "1",
+            "--mpi_h_scale", "1.2", "--mpi_w_scale", "1.2",
+            "--mpi_h_verts", "5", "--mpi_w_verts", "7",
+            "--mpi_d", "4", "--atlas_grid_h", "2",
+            "--patch_h_size", "24", "--patch_w_size", "32",
+            "--patch_h_stride", "16", "--patch_w_stride", "24",
+            "--lrate", "0.1", "--N_iters", "100000",
+            "--scale_invariant",
+            "--i_weights", "1000000", "--i_video", "1000000",
+            "--i_img", "10000", "--i_print", "1000000", "--seed", "1",
+            "--disable_auto_resume"]
+    seen = []
+
+    def cb(epoch, metrics):
+        seen.append(epoch)
+        if epoch % 5 == 0:
+            print(f"STOP_DRYRUN_EPOCH process={jax.process_index()} "
+                  f"epoch={epoch}", flush=True)
+
+    stage1.train(parse_args_with_configs(argv), progress_cb=cb)
+    sd = common.graceful_shutdown()
+    ckpts = sorted(f for f in os.listdir(os.path.join(expdir, "st"))
+                   if f.startswith("ckpt_"))
+    print(f"MULTIHOST_STOP_OK process={jax.process_index()} "
+          f"signaled={int(sd.requested)} stopped_epoch={seen[-1]} "
+          f"ckpts={len(ckpts)} is_primary={int(jax.process_index() == 0)}",
+          flush=True)
 
 
 if __name__ == "__main__":
