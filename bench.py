@@ -335,6 +335,38 @@ def measure_split(model, args, params, batch, losscfg, ph, pw, iters=5):
     return split
 
 
+def _probe_backend_or_exit(timeout_s=180.0):
+    """Fail fast when the TPU backend is unreachable.
+
+    The axon relay tunnel can die (orchestrator pipe closure — see
+    CLAUDE.md gotchas); ``jax.devices()`` then hangs FOREVER, which
+    would hang the driver's round-end bench run with no diagnosis.
+    Probe the first device op under a watchdog: on timeout, print a
+    one-line JSON with an ``error`` field (so the bench record says WHY
+    there is no number) and exit 3."""
+    import threading
+    done = threading.Event()
+
+    def watch():
+        if not done.wait(timeout_s):
+            print(json.dumps({
+                "metric": "stage2_step_time", "value": None,
+                "unit": "ms", "vs_baseline": None,
+                "error": f"TPU backend unresponsive for "
+                         f"{timeout_s:.0f}s (axon relay down / chip "
+                         f"claim wedged) - no measurement possible"}),
+                flush=True)
+            os._exit(3)
+
+    threading.Thread(target=watch, daemon=True).start()
+    import jax
+    import jax.numpy as jnp
+    n = jax.local_device_count()
+    assert float(jnp.ones(8).sum()) == 8.0, "device op returned garbage"
+    done.set()
+    return n
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
@@ -396,6 +428,9 @@ def main():
     if opts.stage1_internal:
         run_stage1_bench(opts.iters)
         return
+
+    if not opts.cpu:
+        _probe_backend_or_exit()
 
     stage1_ms = None
     if opts.stage1 and not opts.quick and not opts.cpu:
