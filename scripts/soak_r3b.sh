@@ -8,6 +8,24 @@ cd "$(dirname "$0")/.."
 
 log() { echo "[$(date +%H:%M:%S)] $*"; }
 
+# resumable exits (75 = graceful SIGTERM ckpt, 42 = hang watchdog:
+# wedged axon claim self-heals in ~3-5 min) retry with auto-resume
+retry() {
+  local tries=0 rc
+  while true; do
+    "$@"; rc=$?
+    [ "$rc" -eq 0 ] && return 0
+    if [ "$rc" -eq 75 ] || [ "$rc" -eq 42 ]; then
+      tries=$((tries + 1))
+      [ "$tries" -gt 5 ] && { log "giving up after 5 retries"; return "$rc"; }
+      log "resumable exit rc=$rc; retry $tries/5 in 240s"
+      sleep 240
+    else
+      return "$rc"
+    fi
+  done
+}
+
 NEWFLAGS="--compact_tiles --blocked_lookup --fast_nn_dist"
 
 if [ ! -d data/soak ]; then
@@ -21,13 +39,13 @@ EOF
 fi
 
 log "=== stage 1 (140 epochs, fresh, shipped flags + new fast paths) ==="
-python -u -m videoloop3d_tpu.tools.train_3d \
+retry python -u -m videoloop3d_tpu.tools.train_3d \
   --config configs/mpi_base.txt --config1 configs/soak_synthetic_s1.txt \
   --expname soak_r3b $NEWFLAGS \
   || { log "STAGE1 FAILED rc=$?"; exit 1; }
 
 log "=== stage 2 (6 levels x 50 epochs, new fast paths, holdout=4) ==="
-python -u -m videoloop3d_tpu.tools.train_3dvid \
+retry python -u -m videoloop3d_tpu.tools.train_3dvid \
   --config configs/mpv_base.txt --config1 configs/soak_synthetic_s2.txt \
   --expname soak_r3b --test_view_idx 4 $NEWFLAGS \
   --init_from mpis/soak_r3b/ckpt_epoch_0119.npz \
