@@ -335,36 +335,37 @@ def measure_split(model, args, params, batch, losscfg, ph, pw, iters=5):
     return split
 
 
-def _probe_backend_or_exit(timeout_s=180.0):
+def _probe_backend_or_exit(timeout_s=360.0):
     """Fail fast when the TPU backend is unreachable.
 
     The axon relay tunnel can die (orchestrator pipe closure — see
     CLAUDE.md gotchas); ``jax.devices()`` then hangs FOREVER, which
     would hang the driver's round-end bench run with no diagnosis.
-    Probe the first device op under a watchdog: on timeout, print a
-    one-line JSON with an ``error`` field (so the bench record says WHY
-    there is no number) and exit 3."""
-    import threading
-    done = threading.Event()
-
-    def watch():
-        if not done.wait(timeout_s):
-            print(json.dumps({
-                "metric": "stage2_step_time", "value": None,
-                "unit": "ms", "vs_baseline": None,
-                "error": f"TPU backend unresponsive for "
-                         f"{timeout_s:.0f}s (axon relay down / chip "
-                         f"claim wedged) - no measurement possible"}),
-                flush=True)
-            os._exit(3)
-
-    threading.Thread(target=watch, daemon=True).start()
-    import jax
-    import jax.numpy as jnp
-    n = jax.local_device_count()
-    assert float(jnp.ones(8).sum()) == 8.0, "device op returned garbage"
-    done.set()
-    return n
+    Probe in a SUBPROCESS (the chip is exclusive: probing in this
+    process would hold a claim across the stage-1 subprocess
+    measurement and corrupt it) with a timeout past the ~3-5 min
+    self-heal of a wedged claim; on failure, print a one-line JSON with
+    an ``error`` field (so the bench record says WHY there is no
+    number) and exit 3."""
+    import subprocess
+    err = None
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; "
+             "assert float(jnp.ones(8).sum()) == 8.0"],
+            capture_output=True, text=True, timeout=timeout_s)
+        if r.returncode != 0:
+            err = f"probe rc={r.returncode}: {r.stderr[-300:]}"
+    except subprocess.TimeoutExpired:
+        err = (f"TPU backend unresponsive for {timeout_s:.0f}s (axon "
+               f"relay down / chip claim wedged) - no measurement "
+               f"possible")
+    if err is not None:
+        print(json.dumps({
+            "metric": "stage2_step_time", "value": None, "unit": "ms",
+            "vs_baseline": None, "error": err}), flush=True)
+        sys.exit(3)
 
 
 def main():

@@ -13,7 +13,9 @@
 # (preemption), 42 = --hang_timeout watchdog (wedged device claim /
 # dead collective peer; the claim self-heals in ~3-5 min, and the
 # deterministic auto-resume continues from the checkpoint).
-set -uo pipefail
+# (scripts/soak_r3b.sh carries the same retry loop - keep them in sync.)
+set -euo pipefail
+cd "$(dirname "$0")"
 
 STAGE="${STAGE:-1}"
 MAX_RETRIES="${MAX_RETRIES:-5}"
@@ -34,8 +36,9 @@ run_with_resume() {
         return "$rc"
       fi
       echo "--- resumable exit rc=$rc; retrying ($tries/$MAX_RETRIES)" \
-           "in 60s (auto-resume picks up the checkpoint)"
-      sleep 60
+           "in 240s (past the claim self-heal; auto-resume picks up" \
+           "the checkpoint)"
+      sleep 240
     else
       echo "!!! failed rc=$rc"
       return "$rc"

@@ -97,7 +97,7 @@ def run_stage2(name, scene_dir, ckpt, extra):
     return hist
 
 
-SEED_CONTROLS = ("seed3", "seed4", "seed5")
+SEED_CONTROLS = ("seed3", "seed4", "seed5", "seed6", "seed7")
 
 
 def main():
@@ -107,6 +107,8 @@ def main():
         "seed3":  ["--mesh_devices", "1", "--seed", "3"],
         "seed4":  ["--mesh_devices", "1", "--seed", "4"],
         "seed5":  ["--mesh_devices", "1", "--seed", "5"],
+        "seed6":  ["--mesh_devices", "1", "--seed", "6"],
+        "seed7":  ["--mesh_devices", "1", "--seed", "7"],
         "dp4":    ["--mesh_devices", "4", "--mesh_fp", "1"],
         "dp4_nb": ["--mesh_devices", "4", "--mesh_fp", "1",
                    "--dp_serial_below", "0"],
@@ -121,12 +123,23 @@ def main():
     # per-level final swd loss (the optimization target) per run
     levels = sorted({li for li, _, _, _ in hists["single"]})
     lines = ["# Stage-2 trajectory parity (CPU, synthetic scene)", "",
-             "Same scene/checkpoint trained 8 ways; three reseeded "
-             "single-device controls (`seed3/4/5`: different "
+             "Same scene/checkpoint trained 10 ways; five reseeded "
+             "single-device controls (`seed3..7`: different "
              "shuffle/noise seeds) define a PER-LEVEL run-to-run noise "
-             "band.  dp4/fp4/bf16 must sit inside the band at EVERY "
-             "pyramid level.  Values = final `swd` looping loss per "
-             "pyramid level.", "",
+             "spread (the table's band column = max |seed - single|). "
+             "GATE: dp4/fp4/bf16 must deviate from `single` by at most "
+             "max(2x that spread, 5%) at EVERY pyramid level — the 2x "
+             "allows for the spread of a 5-sample max underestimating "
+             "the true run-to-run distribution.  A sharded run that "
+             "lands in the seed distribution is converging like a "
+             "reseeded run: the per-step arithmetic is exact up to f32 "
+             "reduction order (tests), and Adam chaotically amplifies "
+             "ulp-level differences over hundreds of steps, so "
+             "trajectory identity is not achievable — distributional "
+             "parity is the correct bar (dp4 with the shipped serial "
+             "feeding IS bit-identical at these levels, see its "
+             "column).  Values = final `swd` looping loss per level.",
+             "",
              "`dp4` runs the shipped defaults: levels with fewer than "
              "`--dp_serial_below` patches feed ONE patch per optimizer "
              "step (weight-0 filler rows, exact via the masked psum), "

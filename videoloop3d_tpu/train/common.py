@@ -175,8 +175,13 @@ class GracefulShutdown:
 
     def _handler(self, signum, frame):
         self.requested = True
-        print("[shutdown] SIGTERM received - checkpointing and exiting "
-              "at the next safe point", flush=True)
+        # os.write, not print(): the signal can interrupt the main
+        # thread while IT holds the stdout buffer lock, and a buffered
+        # write here would raise "reentrant call inside BufferedWriter"
+        # into the interrupted code — killing the trainer with exit 1
+        # instead of the graceful path this handler exists to provide
+        os.write(2, b"[shutdown] SIGTERM received - checkpointing and "
+                    b"exiting at the next safe point\n")
 
     def restore(self):
         if self._installed:

@@ -616,6 +616,10 @@ def train(args, progress_cb=None):
                 save_stage1_checkpoint(
                     os.path.join(rundir, f"ckpt_epoch_{epoch:04d}.npz"),
                     model, params_host, epoch)
+            # epoch-boundary work (gather + write) counts as progress —
+            # without a tick the watchdog would misread a slow save +
+            # preview + next re-specialization compile as a hang
+            watchdog.tick()
 
         if (epoch + 1) % args.i_video == 0 and jax.process_count() == 1:
             frames = render_preview(model, params, H, W,
@@ -650,6 +654,7 @@ def train(args, progress_cb=None):
                                   os.path.join(
                                       rundir,
                                       f"loopable_epoch_{epoch:04d}"))
+            watchdog.tick()      # previews render many frames; progress
 
     watchdog.stop()
     prof.close()

@@ -632,6 +632,11 @@ def train(args, progress_cb=None):
             if k not in step_cache:
                 step_cache[k] = build_step(item_cfg, ph, pw)
         opt_state = next(iter(step_cache.values()))[1](params)
+        # level setup (lod resize, slot bounds, video upload) counts as
+        # watchdog progress — the remaining untracked gap before the
+        # first tick is the cold per-level step compile, which
+        # --hang_timeout is sized for
+        watchdog.tick()
 
         for epoch in range(num_epoch):
             if pyr_i == start_level and epoch < start_epoch:
@@ -794,6 +799,7 @@ def train(args, progress_cb=None):
                             f"ckpt_l{pyr_i}_epoch_{epoch:04d}.npz"),
                         model, params_host, pyr_i, epoch, epoch_total,
                         iter_total, factor, hw)
+                watchdog.tick()       # gather + write are progress
 
             # previews are a file artifact; in multi-host jobs the eval
             # render is not sharded, so they are single-process-only
@@ -822,6 +828,7 @@ def train(args, progress_cb=None):
                     save_mesh_preview(
                         model.geom, None, full_tile_map(model.geom),
                         os.path.join(rundir, f"mesh_l{pyr_i}_{epoch:04d}"))
+                watchdog.tick()   # previews render many frames; progress
             epoch_total += 1
         if stopping:
             break
