@@ -257,8 +257,11 @@ def fp_supports(losscfg, isloop=True):
             return False, "fp swd requires stridet == 1"
         return True, ""
     if name not in ("gpnn_lm", "gpnn"):
-        return False, "fp sharding implements the gpnn + swd losses " \
-                      "(mse/avg are trivially cheap; run them dp-only)"
+        return False, "fp sharding implements the gpnn_lm/gpnn + swd " \
+                      "losses (mse/avg are trivially cheap dp-only; " \
+                      "gpnn_down's pre-NN temporal downsample couples " \
+                      "frames across shard boundaries beyond the " \
+                      "patcht-1 ring halo, so it stays dp-only)"
     if losscfg.get("stridet", 1) != 1:
         return False, "fp sharding requires stridet == 1"
     if losscfg.get("dist_fn", "mse") != "mse":
