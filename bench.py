@@ -396,10 +396,12 @@ def main():
                          "shipped configs; --no-compact_tiles for the "
                          "full per-tile loop")
     ap.add_argument("--blocked_lookup",
-                    action=argparse.BooleanOptionalAction, default=False,
+                    action=argparse.BooleanOptionalAction, default=True,
                     help="bench with the blocked tile-map lookup "
                          "(one block fetch per (plane, scanline); "
-                         "exact — renderer.tile_lookup2_blocked)")
+                         "exact — renderer.tile_lookup2_blocked), ON "
+                         "like the shipped configs; --no-blocked_lookup "
+                         "for per-pixel element gathers")
     ap.add_argument("--fast_nn_dist",
                     action=argparse.BooleanOptionalAction, default=False,
                     help="bench with the temporally-decomposed NN "
