@@ -48,3 +48,22 @@ def test_evaluate_cli_flags_parse():
     args = C.parse_args_with_configs(
         ["--skip", "lpips,nnmse", "--with_svfid"], parser)
     assert args.skip == "lpips,nnmse" and args.with_svfid
+
+
+def test_shipped_stage2_config_fast_paths_on():
+    """The measured-and-shipped exact fast paths must stay ON in the
+    stage-2 base config (mpv_base.txt): each was an on-chip A/B win
+    (bench_ab.log round 3) and all are exactness-tested, so silently
+    dropping one is a pure perf regression."""
+    import os
+    base = os.path.join(os.path.dirname(__file__), "..",
+                        "configs", "mpv_base.txt")
+    args = C.parse_args_with_configs(["--config", base])
+    assert args.fp16                 # bf16 gathers (75 dB same-ckpt A/B)
+    assert args.fast_stage2_grad     # per-tile adjoint backward
+    assert args.no_render_remat
+    assert args.compact_hits         # hit-compacted sparse sweep
+    assert args.compact_tiles        # patch-active adjoint tile bound
+    assert args.blocked_lookup       # per-scanline tile-map block fetch
+    # measured HBM-bound at training patch sizes: must stay OFF
+    assert not args.fast_nn_dist
