@@ -492,8 +492,7 @@ def main():
         info["active_tiles"] = model.active_tiles
         info["lookup_spans"] = model.lookup_spans
     if opts.fast_nn_dist:
-        from videoloop3d_tpu.losses.patch_nn import set_fast_nn_dist
-        set_fast_nn_dist(True)
+        losscfg["fast_nn_dist"] = True
     if opts.verbose:
         print("setup:", info, file=sys.stderr)
         print("devices:", jax.devices(), file=sys.stderr)

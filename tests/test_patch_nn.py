@@ -334,24 +334,18 @@ def test_fast_nn_dist_matches_direct():
     x = (base + 0.15 * rng.random((C, T, H, W))).astype(np.float32)
     y = (np.roll(x, 3, axis=1)
          + 0.03 * rng.random((C, T, H, W))).astype(np.float32)
-    try:
-        for pt, st in ((3, 1), (4, 2)):
-            psz, strides = (pt, 3, 3), (st, 2, 2)
-            fh = P.fit_patch_size(H, 3, 2)
-            fw = P.fit_patch_size(W, 3, 2)
-            ft = P.fit_patch_size(T, pt, st)
-            xs = x[:, :ft, :fh, :fw]
-            ys = y[:, :ft, :fh, :fw]
-            for alpha in (None, 10000.0):
-                P.set_fast_nn_dist(False)
-                want = np.asarray(P.nn_retarget(
-                    jnp.asarray(xs), jnp.asarray(ys), psz, strides,
-                    alpha))
-                P.set_fast_nn_dist(True)
-                got = np.asarray(P.nn_retarget(
-                    jnp.asarray(xs), jnp.asarray(ys), psz, strides,
-                    alpha))
-                assert np.allclose(got, want, atol=2e-5), (
-                    pt, st, alpha, np.abs(got - want).max())
-    finally:
-        P.set_fast_nn_dist(False)
+    for pt, st in ((3, 1), (4, 2)):
+        psz, strides = (pt, 3, 3), (st, 2, 2)
+        fh = P.fit_patch_size(H, 3, 2)
+        fw = P.fit_patch_size(W, 3, 2)
+        ft = P.fit_patch_size(T, pt, st)
+        xs = x[:, :ft, :fh, :fw]
+        ys = y[:, :ft, :fh, :fw]
+        for alpha in (None, 10000.0):
+            want = np.asarray(P.nn_retarget(
+                jnp.asarray(xs), jnp.asarray(ys), psz, strides, alpha))
+            got = np.asarray(P.nn_retarget(
+                jnp.asarray(xs), jnp.asarray(ys), psz, strides, alpha,
+                fast_nn_dist=True))
+            assert np.allclose(got, want, atol=2e-5), (
+                pt, st, alpha, np.abs(got - want).max())

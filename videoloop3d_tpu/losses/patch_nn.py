@@ -224,18 +224,6 @@ def nn_indices(X, Y, alpha=None, dist_fn="mse"):
     return nn_indices_from_dist(DIST_FNS[dist_fn](X, Y), alpha)
 
 
-# --fast_nn_dist: temporally-decomposed NN search in the training losses
-# (set by the trainers from args; module-level because the loss registry
-# call chain is deep).  Exact up to float summation order — argmin ties
-# may resolve differently.
-FAST_NN_DIST = False
-
-
-def set_fast_nn_dist(on: bool) -> None:
-    global FAST_NN_DIST
-    FAST_NN_DIST = bool(on)
-
-
 def nn_indices_from_dist(dist, alpha=None):
     """`nn_indices` on a precomputed (B, n, m) distance matrix."""
     if alpha is not None:
@@ -298,20 +286,25 @@ def _nn_retarget_temporal(x, y, psz, strides, alpha):
     return fold_patches_flat(sel, C, psz, strides)
 
 
-def nn_retarget(x, y, psz, strides, alpha=None, dist_fn="mse"):
+def nn_retarget(x, y, psz, strides, alpha=None, dist_fn="mse",
+                fast_nn_dist=False):
     """Build the retargeted pseudo-ground-truth: for every 3D patch of x,
     its temporal NN patch of y (same spatial location), folded back.
 
     x: (C, Tx, H, W); y: (C, Ty, H, W)  (H, W already patch-fitted).
     Returns (y2x_sum (C,Tx,H,W), used with `fold_weight`).
     Parity: utils_vid.py:206-229 (FindNNpatchAndMerge).
+
+    fast_nn_dist (--fast_nn_dist): temporally-decomposed NN search —
+    exact up to float summation order (argmin ties may resolve
+    differently).
     """
     C = x.shape[0]
     # backend dispatch: the conv-based flat path avoids catastrophic TPU
     # layout padding (minor dims = patch extents) and runs on the MXU,
     # but identity-kernel convs are slow on the CPU backend.
     use_flat = jax.default_backend() != "cpu"
-    if FAST_NN_DIST and dist_fn == "mse" and psz[0] > 1:
+    if fast_nn_dist and dist_fn == "mse" and psz[0] > 1:
         return _nn_retarget_temporal(x, y, psz, strides, alpha)
     if use_flat:
         Xp = extract_patches_flat(x, psz, strides)  # (ntx, nh, nw, dim)
@@ -373,7 +366,7 @@ def _lm_plan(shape_x_t, shape_y_t, h, w, psz, strides, macro):
 
 def gpnn_lowmem_retarget(x, y, patch_size=7, patcht_size=7, stride=2,
                          stridet=2, alpha=None, macro_block=64,
-                         dist_fn="mse"):
+                         dist_fn="mse", fast_nn_dist=False):
     """Macro-block NN retarget.  x: (C, Tx, H, W) render (loop-padded);
     y: (C, Ty, H, W) ground truth.  Returns y2x (C, fit_tx, fit_h, fit_w)
     already weight-normalized, and the fitted sizes."""
@@ -398,7 +391,7 @@ def gpnn_lowmem_retarget(x, y, patch_size=7, patcht_size=7, stride=2,
                        8 if patch_size <= 7 else 2))
     y2x_crops = jax.lax.map(
         lambda xy: nn_retarget(xy[0], xy[1], psz, strides, alpha,
-                               dist_fn),
+                               dist_fn, fast_nn_dist),
         (x_crops, y_crops), batch_size=chunk)       # (Nc, C, fit_tx, mb, mb)
 
     y2x = jnp.zeros((C, fit_tx, fit_h, fit_w), x.dtype)
@@ -425,7 +418,8 @@ def _norm_alpha(alpha):
 
 def gpnn_lowmem_loss(x, y, *, patch_size=7, patcht_size=7, stride=2,
                      stridet=2, alpha=1e10, rou=0, scaling=0.2,
-                     macro_block=64, dist_fn="mse", **_):
+                     macro_block=64, dist_fn="mse", fast_nn_dist=False,
+                     **_):
     """'gpnn_lm': the default stage-2 looping loss.  x: (C, Tx, H, W)
     render (grad flows); y: (C, Ty, H, W) GT video.  The NN/fold target is
     computed under stop_gradient — gradients only flow through
@@ -434,14 +428,14 @@ def gpnn_lowmem_loss(x, y, *, patch_size=7, patcht_size=7, stride=2,
         jax.lax.stop_gradient(x), jax.lax.stop_gradient(y),
         patch_size=patch_size, patcht_size=patcht_size, stride=stride,
         stridet=stridet, alpha=_norm_alpha(alpha), macro_block=macro_block,
-        dist_fn=dist_fn)
+        dist_fn=dist_fn, fast_nn_dist=fast_nn_dist)
     diff = x[:, :ft, :fh, :fw] - y2x
     return jnp.mean(robust_lossfun(diff, rou, scaling))
 
 
 def gpnn_direct_loss(x, y, *, patch_size=7, patcht_size=7, stride=1,
                      stridet=1, alpha=1e10, rou=0, scaling=0.2,
-                     dist_fn="mse", **_):
+                     dist_fn="mse", fast_nn_dist=False, **_):
     """'gpnn': whole-patch NN without macro blocks
     (ref utils_vid.py:265-287)."""
     psz = (patcht_size, patch_size, patch_size)
@@ -452,7 +446,8 @@ def gpnn_direct_loss(x, y, *, patch_size=7, patcht_size=7, stride=1,
     fty = fit_patch_size(y.shape[1], patcht_size, stridet)
     xs = jax.lax.stop_gradient(x)[:, :ft, :fh, :fw]
     ys = jax.lax.stop_gradient(y)[:, :fty, :fh, :fw]
-    y2x = nn_retarget(xs, ys, psz, strides, _norm_alpha(alpha), dist_fn)
+    y2x = nn_retarget(xs, ys, psz, strides, _norm_alpha(alpha), dist_fn,
+                      fast_nn_dist)
     weight = jnp.asarray(
         np.clip(fold_weight((ft, fh, fw), psz, strides), 1e-10, None))
     y2x = y2x / weight[None]
@@ -492,7 +487,8 @@ def _down_plan(Tx, Ty, H, W, psz, strides, macro, f):
 
 def gpnn_downsample_loss(x, y, *, patch_size=7, patcht_size=7, stride=2,
                          stridet=2, alpha=1e10, rou=0, scaling=0.2,
-                         macro_block=64, factor=1, dist_fn="mse", **_):
+                         macro_block=64, factor=1, dist_fn="mse",
+                         fast_nn_dist=False, **_):
     """'gpnn_down': NN indices found on a bilinearly-downsampled video,
     ``repeat_interleave``-upsampled to the full-res patch grid, then used
     to gather SAME-SIZE full-res patches which are folded back (ref
@@ -516,7 +512,8 @@ def gpnn_downsample_loss(x, y, *, patch_size=7, patcht_size=7, stride=2,
         return gpnn_lowmem_loss(
             x, y, patch_size=patch_size, patcht_size=patcht_size,
             stride=stride, stridet=stridet, alpha=alpha, rou=rou,
-            scaling=scaling, macro_block=macro_block, dist_fn=dist_fn)
+            scaling=scaling, macro_block=macro_block, dist_fn=dist_fn,
+            fast_nn_dist=fast_nn_dist)
     f = int(factor)
     p, pt, s, st = patch_size, patcht_size, stride, stridet
     psz = (pt, p, p)

@@ -53,6 +53,7 @@ def loss_config_from_args(args, ref=False):
         "factor": getattr(args, f"swd_factor{sfx}"),
         "loss_gain": args.swd_loss_gain_ref if ref else 1.0,
         "num_proj": args.swd_num_proj,
+        "fast_nn_dist": bool(getattr(args, "fast_nn_dist", False)),
     }
     return cfg
 
@@ -267,7 +268,6 @@ def save_stage2_checkpoint(path, model, params, pyr_i, epoch,
 
 def train(args, progress_cb=None):
     """Full stage-2 loop.  Returns (model, params, rundir)."""
-    pnl.set_fast_nn_dist(getattr(args, "fast_nn_dist", False))
     expname = args.expname + args.expname_postfix
     datadir = os.path.join(args.prefix, args.datadir)
     expdir = os.path.join(args.prefix, args.expdir)
