@@ -135,14 +135,26 @@ def make_scene(n_views=3, h=48, w=64, n_frames=8, seed=0):
     }
 
 
-def write_llff_dir(scene, basedir, factor=1):
-    """Materialize a synthetic scene as an LLFF directory with .npy videos
-    (consumed by data.llff.load_mv_videos)."""
+def write_llff_dir(scene, basedir, factor=1, container="npy"):
+    """Materialize a synthetic scene as an LLFF directory (consumed by
+    data.llff.load_mv_videos).
+
+    container: "npy" (fast, tests) or "tif" (multi-frame TIFF readable by
+    plain ``imageio.mimread`` — the format both this repo AND the
+    reference implementation can decode without ffmpeg, used for the
+    head-to-head run; ref dataloader.py:144 globs ``videos_{factor}/*``).
+    """
     os.makedirs(os.path.join(basedir, f"videos_{factor}"), exist_ok=True)
     vids = (np.clip(scene["videos"], 0, 1) * 255).astype(np.uint8)
     for v in range(len(vids)):
-        np.save(os.path.join(basedir, f"videos_{factor}", f"{v:04d}.npy"),
-                vids[v])
+        base = os.path.join(basedir, f"videos_{factor}", f"{v:04d}")
+        if container == "npy":
+            np.save(base + ".npy", vids[v])
+        elif container == "tif":
+            import imageio
+            imageio.mimwrite(base + ".tif", list(vids[v]))
+        else:
+            raise ValueError(f"unknown container {container!r}")
     h, w = vids.shape[2:4]
     llff_io.save_poses_bounds(
         os.path.join(basedir, "poses_bounds.npy"),
