@@ -41,3 +41,31 @@ def test_make_global_mesh_single_process():
     mesh = make_global_mesh(n_dp=0, n_fp=2)
     assert mesh.axis_names == ("dp", "fp")
     assert mesh.shape["fp"] == 2
+
+
+def test_partition_views_uneven_10_over_4():
+    """10 views / 4 processes: every process owns >=2 views, counts are
+    3/3/2/2, ref and other loss-config classes each spread round-robin
+    (VERDICT r3 item 6 — uneven partitions)."""
+    from videoloop3d_tpu.parallel.distributed import partition_views
+
+    train_view = list(range(10))
+    ref = {1, 6}
+    owner = partition_views(train_view, ref, 4)
+    assert set(owner) == set(train_view)
+    counts = sorted(sum(1 for p in owner.values() if p == q)
+                    for q in range(4))
+    assert counts == [2, 2, 3, 3], counts
+    # each class is round-robined separately
+    assert owner[1] == 0 and owner[6] == 1
+    others = [v for v in train_view if v not in ref]
+    assert [owner[v] for v in others] == [0, 1, 2, 3, 0, 1, 2, 3]
+
+
+def test_partition_views_rejects_starved_process():
+    import pytest
+
+    from videoloop3d_tpu.parallel.distributed import partition_views
+
+    with pytest.raises(ValueError, match="shard_views"):
+        partition_views([0, 1, 2], set(), 4)

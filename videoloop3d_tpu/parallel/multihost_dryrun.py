@@ -31,6 +31,10 @@ def main(argv=None):
                     choices=["step", "shard_views", "stage1_sv",
                              "sigterm_stop"],
                     default="step")
+    ap.add_argument("--sv_views", type=int, default=4,
+                    help="scene view count for the shard_views modes "
+                         "(uneven partitions when not divisible by "
+                         "num_processes)")
     opts = ap.parse_args(argv)
 
     # CPU platform + virtual local devices, BEFORE backend init
@@ -122,11 +126,13 @@ def main(argv=None):
 
 def run_shard_views(opts):
     """Phase 3 of the multichip dryrun: the REAL stage-2 trainer with
-    --shard_views across 2 coordinated processes.  Asserts this process
-    decoded ONLY its owned views (disjoint host data — the launcher
-    cross-checks the two processes' decode sets are disjoint and
-    complete) and that per-process host video bytes are ~1/nproc of the
-    scene."""
+    --shard_views across N coordinated processes.  Asserts this process
+    decoded ONLY the views `partition_views` assigns it (disjoint host
+    data — the launcher cross-checks the processes' decode sets are
+    pairwise disjoint and complete).  With --sv_views not divisible by
+    --num_processes this exercises UNEVEN partitions (e.g. 10 views / 4
+    processes), plus the per-epoch OR'd stop-flag collective and the
+    primary-only checkpoint gather (i_weights=1 forces a save)."""
     import tempfile
 
     import jax
@@ -134,14 +140,17 @@ def run_shard_views(opts):
 
     from videoloop3d_tpu.config import parse_args_with_configs
     from videoloop3d_tpu.data import synthetic, video as video_io
+    from videoloop3d_tpu.parallel.distributed import partition_views
     from videoloop3d_tpu.train import stage2
 
+    n_views = opts.sv_views
     # per-process scene dir with IDENTICAL content (same seed)
-    scene_dir = os.path.join(tempfile.gettempdir(),
-                             f"sv_dryrun_p{jax.process_index()}", "scene")
+    scene_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"sv_dryrun_v{n_views}_p{jax.process_index()}", "scene")
     if not os.path.exists(os.path.join(scene_dir, "poses_bounds.npy")):
-        scene = synthetic.make_scene(n_views=4, h=24, w=32, n_frames=4,
-                                     seed=0)
+        scene = synthetic.make_scene(n_views=n_views, h=24, w=32,
+                                     n_frames=4, seed=0)
         synthetic.write_llff_dir(scene, scene_dir, factor=1)
 
     decoded = []
@@ -176,7 +185,7 @@ def run_shard_views(opts):
             "--swd_loss_gain_ref", "2.0",
             "--swd_macro_block", "17", "--swd_num_proj", "16",
             "--scale_invariant", "--init_std", "0.02",
-            "--i_weights", "1000", "--i_video", "1000", "--i_img", "100",
+            "--i_weights", "1", "--i_video", "1000", "--i_img", "100",
             "--i_print", "1000", "--seed", "1",
             "--shard_views", "--disable_auto_resume"]
     losses = []
@@ -184,16 +193,24 @@ def run_shard_views(opts):
                  progress_cb=lambda li, ep, m: losses.append(
                      float(m["loss"])))
 
-    # disjointness: exactly the owned half was decoded
-    n_views = 4
+    # disjointness: exactly the views partition_views assigns were
+    # decoded (uneven counts when nproc does not divide n_views)
     nproc = jax.process_count()
-    assert len(decoded) == n_views // nproc, decoded
+    owner = partition_views(list(range(n_views)), {0, 1}, nproc)
+    expected = sorted(v for v, p in owner.items()
+                      if p == jax.process_index())
     my_views = sorted(int(os.path.splitext(n)[0]) for n, _ in decoded)
+    assert my_views == expected, (my_views, expected)
     host_bytes = sum(b for _, b in decoded)
     assert losses and np.isfinite(losses[-1])
+    # primary-only checkpoint write (gather_for_host ran on everyone)
+    rundir = os.path.join(root, "mpv", "sv")
+    wrote_ckpt = any(f.endswith(".npz") for f in os.listdir(rundir)) \
+        if os.path.isdir(rundir) else False
     print(f"MULTIHOST_SV_OK process={jax.process_index()} "
           f"views={','.join(map(str, my_views))} "
-          f"host_bytes={host_bytes} loss={losses[-1]:.6f}", flush=True)
+          f"host_bytes={host_bytes} ckpt={int(wrote_ckpt)} "
+          f"loss={losses[-1]:.6f}", flush=True)
 
 
 def run_stage1_shard_views(opts):
