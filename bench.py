@@ -402,6 +402,11 @@ def main():
                          "exact — renderer.tile_lookup2_blocked), ON "
                          "like the shipped configs; --no-blocked_lookup "
                          "for per-pixel element gathers")
+    ap.add_argument("--fused", action=argparse.BooleanOptionalAction,
+                    default=False,
+                    help="bench with --fused_render (fused decode+"
+                         "composite+regularizer custom-vjp, "
+                         "render/fused.py)")
     ap.add_argument("--fast_nn_dist",
                     action=argparse.BooleanOptionalAction, default=False,
                     help="bench with the temporally-decomposed NN "
@@ -493,6 +498,10 @@ def main():
         info["lookup_spans"] = model.lookup_spans
     if opts.fast_nn_dist:
         losscfg["fast_nn_dist"] = True
+    if opts.fused:
+        import dataclasses
+        args.fused_render = True
+        model.cfg = dataclasses.replace(model.cfg, fused_render=True)
     if opts.verbose:
         print("setup:", info, file=sys.stderr)
         print("devices:", jax.devices(), file=sys.stderr)

@@ -157,6 +157,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "distances (F^2 vs ntx*nty*pt GEMM FLOPs; "
                         "exact up to float summation order / argmin "
                         "ties — see losses/patch_nn.py)")
+    p.add_argument("--fused_render", action="store_true",
+                   help="stage-2 fused decode+composite+regularizers "
+                        "with a hand-derived VJP: nothing (S,h,w,F)-"
+                        "shaped is materialized or saved as residuals "
+                        "(render/fused.py); engages on the shipped "
+                        "direct/sigmoid decoder, falls back otherwise")
     p.add_argument("--blocked_lookup", action="store_true",
                    help="stage-2 blocked tile-map lookup: fetch one "
                         "(Ti, J) tile-map block per (plane, scanline) "

@@ -114,6 +114,7 @@ class MPMeshConfig:
     add_uv_noise: bool = False
     fast_stage1_grad: bool = False
     fast_stage2_grad: bool = False
+    fused_render: bool = False
     bg_color: str = ""
     normalize_verts: bool = False
     edge_scale: float = 4.0
@@ -142,6 +143,7 @@ class MPMeshConfig:
                                           False)),
             fast_stage2_grad=bool(getattr(args, "fast_stage2_grad",
                                           False)),
+            fused_render=bool(getattr(args, "fused_render", False)),
             bg_color=args.bg_color,
             normalize_verts=bool(getattr(args, "normalize_verts", False)),
             edge_scale=float(args.edge_scale),

@@ -333,6 +333,41 @@ class MPMeshVid:
                 vals_s0, hit_s0 = vals_s[0], hit_s[0]
                 vals_d, hit_d = bilinear_tiles_tilemajor(
                     dyn, k_d[0], fu[0] * (tw - 1), fv[0] * (th - 1))
+            # --fused_render: one custom-vjp covering decode + select +
+            # composite + the stack regularizers; nothing (S,h,w,F[,C])-
+            # shaped is materialized or saved (render/fused.py).  Only
+            # the shipped direct/sigmoid decoder qualifies.
+            if (training and cfg.fused_render
+                    and cfg.rgb_mlp_type == "direct"
+                    and cfg.rgb_activate == "sigmoid"
+                    and cfg.alpha_activate == "sigmoid"):
+                from videoloop3d_tpu.render.fused import (FusedCfg,
+                                                          fused_composite)
+                zv0 = cs.zview if compact else coords.zview[0]
+                dinv = jnp.where(valid0,
+                                 1.0 / jnp.where(valid0, zv0, 1.0), 0.0)
+                fcfg = FusedCfg(n_planes=self.geom.n_planes,
+                                use_sparsity=cfg.sparsity_on,
+                                use_rgb_smooth=cfg.rgb_smooth_on,
+                                use_a_smooth=cfg.a_smooth_on,
+                                want_disp=cfg.d_smooth_on)
+                out, alpha_sum, disp, regsums = fused_composite(
+                    fcfg, vals_s0, valid0 & hit_s0, vals_d, hit_d,
+                    valid0 & hit_d, dinv)
+                if cfg.bg_color:
+                    from videoloop3d_tpu.models.mpmesh import \
+                        parse_bg_color
+                    bg = parse_bg_color(cfg.bg_color, rng)
+                    if bg is not None:
+                        out = out * alpha_sum[..., None] \
+                            + bg * (1.0 - alpha_sum[..., None])
+                variables = {
+                    "alpha_planes": None, "rgb_planes": None,
+                    "blend_weight": None, "alpha": alpha_sum,
+                    "disp": disp, "fused_regs": regsums,
+                    "fused_denorm": vals_d.shape[0] / self.geom.n_planes,
+                }
+                return jnp.moveaxis(out, 2, 0), variables
             rgb_s, alpha_s = decode(vals_s0, valid0 & hit_s0)
             rgb_d, alpha_d = decode(vals_d, (valid0 & hit_d)[..., None])
             # (D, h, w, F, .) stacks; static broadcasts over the F axis
@@ -397,6 +432,26 @@ class MPMeshVid:
         stacks."""
         cfg = self.cfg
         extra = {}
+        if variables.get("fused_regs") is not None:
+            # --fused_render path: the stack regularizers were computed
+            # inside the fused kernel (same formulas); apply the same
+            # scales the unfused path applies below.
+            regsums = variables["fused_regs"]
+            denorm = variables["fused_denorm"]
+            if cfg.sparsity_on:
+                extra["sparsity"] = regsums["sparsity"] * loss_gain
+            if cfg.rgb_smooth_on:
+                extra["rgb_smooth"] = regsums["rgb_smooth"] \
+                    * (loss_gain * denorm)
+            if cfg.a_smooth_on:
+                extra["a_smooth"] = regsums["a_smooth"] \
+                    * (loss_gain * denorm)
+            if cfg.density_on:
+                extra["density"] = regs.density_loss(variables["alpha"])
+            if cfg.d_smooth_on and variables["disp"] is not None:
+                disp = jnp.moveaxis(variables["disp"], 2, 0)
+                extra["d_smooth"] = regs.depth_smooth_loss(disp)
+            return extra
         a = variables["alpha_planes"]                  # (L, h, w, F)
         # L = plane-axis length of the stacks: D on the dense sweep, the
         # hit-compacted slot count S under --compact_hits.  The smooth
