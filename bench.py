@@ -403,10 +403,11 @@ def main():
                          "like the shipped configs; --no-blocked_lookup "
                          "for per-pixel element gathers")
     ap.add_argument("--fused", action=argparse.BooleanOptionalAction,
-                    default=False,
+                    default=True,
                     help="bench with --fused_render (fused decode+"
                          "composite+regularizer custom-vjp, "
-                         "render/fused.py)")
+                         "render/fused.py), ON like the shipped "
+                         "configs; --no-fused for the unfused chain")
     ap.add_argument("--fast_nn_dist",
                     action=argparse.BooleanOptionalAction, default=False,
                     help="bench with the temporally-decomposed NN "
