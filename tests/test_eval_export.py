@@ -315,3 +315,48 @@ def test_export_viewer_roundtrip_render(tmp_path):
         diff = np.abs(viewer_render(t) - out[i])[mask]
         assert diff.max() < 0.012, diff.max()     # 8-bit quantization
         assert diff.mean() < 0.005, diff.mean()
+
+
+def test_evaluate_pred_dir_scores_external_renders(tmp_path):
+    """--pred_dir path: externally rendered loops are scored by the same
+    metric code as checkpoint renders (head-to-head harness input)."""
+    from videoloop3d_tpu.config import parse_args_with_configs
+    from videoloop3d_tpu.data import synthetic
+    from videoloop3d_tpu.eval.evaluate import evaluate
+
+    scene = synthetic.make_scene(n_views=2, h=24, w=32, n_frames=6,
+                                 seed=0)
+    scene_dir = str(tmp_path / "scene")
+    synthetic.write_llff_dir(scene, scene_dir, factor=1)
+
+    from videoloop3d_tpu.data import llff
+    videos, _, _ = llff.load_mv_videos(basedir=scene_dir, factor=1,
+                                       bd_factor=(1.0, 1.0),
+                                       recenter=True)
+    pred_dir = tmp_path / "preds"
+    pred_dir.mkdir()
+    rng = np.random.default_rng(1)
+    for v in range(2):
+        gt = np.asarray(videos[v]).astype(np.int32)
+        noisy = np.clip(gt + rng.integers(-3, 4, gt.shape), 0, 255)
+        np.save(pred_dir / f"view{v:02d}.npy", noisy.astype(np.uint8))
+
+    args = parse_args_with_configs([
+        "--datadir", scene_dir, "--expdir", str(tmp_path / "mpv"),
+        "--expname", "x", "--factor", "1", "--seed", "1",
+        "--mpv_frm_num", "6",
+    ])
+    table = evaluate(args, compute_flags={"lpips": False,
+                                          "nnmse": False,
+                                          "loopq": False},
+                     pred_dir=str(pred_dir))
+    out = pred_dir / "eval_metrics.txt"
+    assert out.exists()
+    lines = out.read_text().strip().splitlines()
+    assert len(lines) == 2 + 2  # header + 2 views + aggregate
+    # near-identical preds: tiny dynamics error (masked PSNR may be
+    # -inf on a fully-loopable synthetic scene - empty static mask)
+    dyn_col = lines[0].split(", ").index("dyn")
+    for row in lines[1:3]:
+        # dyn is std-map MSE on the 0-255 scale; +-3 noise -> O(1)
+        assert float(row.split(", ")[dyn_col]) < 5.0

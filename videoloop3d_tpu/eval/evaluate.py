@@ -45,8 +45,18 @@ def load_mpv_from_run(args, H, W, ref_extrin, ref_intrin, near, far,
     return model, params, rundir, ckpt_path
 
 
-def evaluate(args, crop=40, compute_flags=None):
-    """Run the full evaluation; returns the per-view metric table."""
+def evaluate(args, crop=40, compute_flags=None, pred_dir=None):
+    """Run the full evaluation; returns the per-view metric table.
+
+    ``pred_dir`` scores externally rendered loops instead of rendering
+    from a checkpoint: it must hold one ``view{v:02d}.npy`` uint8
+    (F, H, W, 3) array per evaluated view index ``v`` (the ORIGINAL
+    scene view index, i.e. ``test_view_idx`` numbering).  This is the
+    apples-to-apples head-to-head path: both the reference's renders
+    and this repo's renders go through the identical metric code
+    (reference evaluator: scripts/script_evaluate_ours.py:33-306).
+    ``eval_metrics.txt`` is then written into ``pred_dir``.
+    """
     flags = {"static": True, "dyn": True, "lpips": True, "nnmse": True,
              "loopq": True, "svfid": False}
     if compute_flags:
@@ -70,20 +80,33 @@ def evaluate(args, crop=40, compute_flags=None):
     loopmasks = [1.0 - compute_loopable_mask(v / 255).astype(np.float32)
                  for v in videos]
 
-    ref_pose = cameras.average_pose(poses)[:, :4]
-    ref_extrin = cameras.pose_to_extrinsic(ref_pose)
-    model, params, rundir, ckpt_path = load_mpv_from_run(
-        args, H, W, ref_extrin, intrins[0],
-        float(scene["bds"].min()), float(scene["bds"].max()))
-    print(f"[eval] using checkpoint {ckpt_path}")
+    if pred_dir is not None:
+        rundir = pred_dir
+        preds = []
+        for tv in test_view:
+            path = os.path.join(pred_dir, f"view{tv:02d}.npy")
+            arr = np.load(path)
+            if arr.shape[1:3] != (H, W):
+                raise ValueError(f"{path}: shape {arr.shape} does not "
+                                 f"match scene {H}x{W}")
+            preds.append(arr.astype(np.uint8))
+        print(f"[eval] scoring {len(preds)} pre-rendered views from "
+              f"{pred_dir}")
+    else:
+        ref_pose = cameras.average_pose(poses)[:, :4]
+        ref_extrin = cameras.pose_to_extrinsic(ref_pose)
+        model, params, rundir, ckpt_path = load_mpv_from_run(
+            args, H, W, ref_extrin, intrins[0],
+            float(scene["bds"].min()), float(scene["bds"].max()))
+        print(f"[eval] using checkpoint {ckpt_path}")
 
-    extrins = cameras.pose_to_extrinsic(poses)
-    preds = []
-    for vi in range(V):
-        frames = render_eval(model, params, H, W, extrins[vi:vi + 1],
-                             intrins[vi:vi + 1],
-                             np.arange(model.frm_num), chunk=2)
-        preds.append(to8b(frames))
+        extrins = cameras.pose_to_extrinsic(poses)
+        preds = []
+        for vi in range(V):
+            frames = render_eval(model, params, H, W,
+                                 extrins[vi:vi + 1], intrins[vi:vi + 1],
+                                 np.arange(model.frm_num), chunk=2)
+            preds.append(to8b(frames))
 
     # center-crop 40px like the reference, but clamp for small scenes
     crop = max(0, min(crop, H // 4, W // 4))

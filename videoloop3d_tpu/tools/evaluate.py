@@ -22,6 +22,10 @@ def main(argv=None):
                              "static,dyn,lpips,nnmse,loopq")
     parser.add_argument("--with_svfid", action="store_true",
                         help="compute SVFID (needs VL3D_C3D_WEIGHTS)")
+    parser.add_argument("--pred_dir", type=str, default=None,
+                        help="score pre-rendered view{v:02d}.npy loops "
+                             "from this dir instead of rendering from "
+                             "the run checkpoint (head-to-head path)")
     args = parse_args_with_configs(argv, parser)
     apply_backend_from_args(args)
     from videoloop3d_tpu.eval.evaluate import evaluate
@@ -33,7 +37,7 @@ def main(argv=None):
             flags[name.strip()] = False
     if args.with_svfid:
         flags["svfid"] = True
-    evaluate(args, compute_flags=flags or None)
+    evaluate(args, compute_flags=flags or None, pred_dir=args.pred_dir)
 
 
 if __name__ == "__main__":
