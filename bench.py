@@ -430,6 +430,13 @@ def main():
     ap.add_argument("--split", action="store_true",
                     help="also measure the fwd / fwd+bwd / loss "
                          "decomposition of the step (extra compiles)")
+    ap.add_argument("--refview", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="also measure the ref-view 11x11 loss config "
+                         "(the most expensive shipped program; its own "
+                         "jit specialization) and report it as "
+                         "refview_step_ms + refview_hw; skipped with "
+                         "--quick")
     ap.add_argument("--stage1-internal", action="store_true",
                     help=argparse.SUPPRESS)
     opts = ap.parse_args()
@@ -570,6 +577,38 @@ def main():
                                          iters=opts.iters)
         except Exception as e:
             out["split"] = {"error": str(e)[:160]}
+    if opts.refview and not opts.quick:
+        # the ref-view 11x11x3 gpnn_lm config (VERDICT r3 item 4): the
+        # single most expensive shipped program — production runs it on
+        # the two loss_ref_idx views (ref mpv_base.txt swd_*_ref keys)
+        try:
+            losscfg_ref = dict(losscfg, patch_size=11, patcht_size=3,
+                               stride=4, stridet=1, alpha=0,
+                               loss_gain=3.5)
+            step_r, opt_init_r = make_stage2_step(model, args, ph, pw,
+                                                  losscfg_ref)
+            opt_state_r = opt_init_r(params)
+            for _ in range(2):
+                params, opt_state_r, m = step_r(params, opt_state_r,
+                                                batch, lr, weights, rng)
+                _ = float(m["loss"])
+            times_r = []
+            for _ in range(opts.iters):
+                t0 = time.perf_counter()
+                params, opt_state_r, m = step_r(params, opt_state_r,
+                                                batch, lr, weights, rng)
+                _ = float(m["loss"])
+                times_r.append(time.perf_counter() - t0)
+            ref_ms = float(np.median(times_r)) * 1000
+            out["refview_step_ms"] = round(ref_ms, 2)
+            if opts.hw:
+                lowered_r = step_r.lower(params, opt_state_r, batch, lr,
+                                         weights, rng)
+                out["refview_hw"] = hw_utilization(
+                    lowered_r.compile(), ref_ms, info, model, batch)
+        except Exception as e:
+            out["refview_step_ms"] = None
+            out["refview_error"] = str(e)[:160]
     print(json.dumps(out))
 
 
