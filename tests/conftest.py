@@ -22,3 +22,55 @@ jax.config.update("jax_platforms", "cpu")
 
 # repo root on sys.path so `import videoloop3d_tpu` works without install
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+# Two-tier suite (VERDICT r3 item 8): tests measured >= ~9 s on the
+# 8-virtual-device CPU backend (pytest --durations, round 4) are marked
+# `slow` centrally here so the quick tier stays honest without marker
+# churn in every file.
+#   quick tier (< ~5 min):  python -m pytest tests/ -q -m "not slow"
+#   full suite (~18 min):   python -m pytest tests/ -q
+_SLOW_TESTS = {
+    "test_c3d_converter_matches_torch",
+    "test_cli_sigterm_checkpoints_exits_75_and_resumes",
+    "test_compact_render_and_grad_equivalence",
+    "test_compact_under_dp_and_fp_mesh",
+    "test_dp_step_distinct_patches_trains",
+    "test_dp_step_matches_single_device",
+    "test_export_viewer_roundtrip_render",
+    "test_fast_nn_dist_matches_direct",
+    "test_fast_stage1_sparse_grad_render_equivalence",
+    "test_fast_stage2_grad_render_equivalence",
+    "test_flat_verts_match_plane_sweep",
+    "test_forward_gradients_flow",
+    "test_fp_step_matches_single_device",
+    "test_fp_step_swd_trains",
+    "test_fused_falls_back_for_sh_decoder",
+    "test_fused_matches_unfused_compacted_adjoint",
+    "test_fused_matches_unfused_dense_sweep",
+    "test_multihost_sigterm_stops_both_processes",
+    "test_nex_and_mlp_decoders_train",
+    "test_sharded_gpnn_matches_single_device",
+    "test_sharded_swd_matches_single_device",
+    "test_sparse_phase_vertex_recovery",
+    "test_stage1_optimize_geo_event",
+    "test_stage1_trainer_dp_mesh",
+    "test_stage1_trainer_shard_views_matches_plain",
+    "test_stage2_auto_resume",
+    "test_stage2_dp_serial_matches_single_device",
+    "test_stage2_dp_serial_shard_views_matches_plain",
+    "test_stage2_from_scratch_dense",
+    "test_stage2_full_pipeline_sparse",
+    "test_stage2_graceful_stop_checkpoints_and_resumes",
+    "test_stage2_init_adopts_sh_checkpoint",
+    "test_svfid_gating_and_forward",
+    "test_two_process_dp_step",
+    "test_vertex_recovery_on_misregistered_scene",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.name.split("[")[0] in _SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
