@@ -23,6 +23,7 @@ jits into one XLA program.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -384,11 +385,26 @@ def gpnn_lowmem_retarget(x, y, patch_size=7, patcht_size=7, stride=2,
     y_crops = jnp.stack([y[..., h0:h0 + macro, w0:w0 + macro]
                          for h0 in hs for w0 in ws])
 
-    # chunk the crop fan-out: the patch tensors of large-patch configs
-    # pick up heavy TPU layout padding (minor dims ~ patch size), so a
-    # full vmap over ~24 crops can exceed HBM; cap concurrent crops.
+    # chunk the crop fan-out by the ACTUAL patch-tensor footprint, not
+    # the patch size: lax.map serializes in chunks, and the fixed
+    # chunk=2 this replaced left the production 11x11 ref-view config
+    # running ~12 sequential dispatches of tiny GEMMs — 500 ms/step of
+    # pure serialization at <25% HBM and 0.12% MFU (round-4 profile).
+    # ~6 patch-tensor-sized f32 buffers are live per crop pair
+    # (Xp/Yp, their Xf/Yf transposes, sel, fold).  v5e sweeps at
+    # production scale: the 11x11 refview config is dispatch-bound and
+    # wants big chunks (chunk 2 -> ~708 ms, 4 -> 453, 8 -> 441); the
+    # 3x3 other-view config is HBM-bound and wants moderate ones
+    # (chunk ~12 @ 1.2 GB -> 249 ms, all-crops @ 4 GB -> 294).  A
+    # 1.2 GB budget with a floor of 4 concurrent crops hits both
+    # optima (VL3D_LM_CHUNK_BUDGET overrides the budget).
+    nt_c = n_patches(fit_tx, patcht_size, stridet)
+    nhw_c = n_patches(macro, patch_size, stride)
+    dim_c = C * patcht_size * patch_size * patch_size
+    per_crop = 6 * nt_c * nhw_c * nhw_c * dim_c * 4
+    budget = float(os.environ.get("VL3D_LM_CHUNK_BUDGET", 1.2e9))
     chunk = max(1, min(len(x_crops),
-                       8 if patch_size <= 7 else 2))
+                       max(4, int(budget / max(per_crop, 1)))))
     y2x_crops = jax.lax.map(
         lambda xy: nn_retarget(xy[0], xy[1], psz, strides, alpha,
                                dist_fn, fast_nn_dist),

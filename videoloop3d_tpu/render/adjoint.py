@@ -507,6 +507,41 @@ def active_tile_bound(geom, tile_map, extrins, intrins, ph, pw, origins,
     return int(min(N, mx + margin))
 
 
+def _window_plan(tile_pos, sy, sx, M, h, w, Wp, active_t):
+    """Per-tile window origins (+ optional active-tile compaction).
+
+    Shared by the dense and slot-compacted gradient bodies: projects
+    every packed tile's quad to its pixel bbox, clamps the (Wp, Wp)
+    window origin into the patch, and — when ``active_t`` bounds the
+    patch-active tile count — stably compacts the loop to the active
+    prefix (exact: inactive tiles own no pixel, their grads are zero).
+    Returns (ids, py0s, px0s, n_loop)."""
+    N = len(tile_pos)
+    px_min, px_max, py_min, py_max, wild = _tile_pixel_bbox(
+        tile_pos, sy, sx, M)
+    px0s = jnp.clip(jnp.floor(px_min).astype(jnp.int32) - 1, 0, w - Wp)
+    py0s = jnp.clip(jnp.floor(py_min).astype(jnp.int32) - 1, 0, h - Wp)
+    ids = jnp.arange(N, dtype=jnp.int32)
+    n_loop = N
+    if active_t is not None and active_t < N:
+        # a tile can own a pixel only if its projected bbox reaches the
+        # patch (margin 2 px covers the -1 floor + bilinear halo); wild
+        # tiles are kept conservatively.  Inactive tiles have mine == 0
+        # everywhere, so dropping them is exact — active_tile_bound()
+        # guarantees the bound with the same test + jitter margin.
+        act = ((px_max >= -2.0) & (px_min <= w + 1.0)
+               & (py_max >= -2.0) & (py_min <= h + 1.0)) | wild
+        # stable compaction: active ids first, packed order preserved;
+        # overflow beyond the bound pads with inactive ids (exact: they
+        # contribute zero) rather than dropping grads
+        order = jnp.argsort(jnp.logical_not(act), stable=True)
+        ids = order[: int(active_t)].astype(jnp.int32)
+        px0s = px0s[ids]
+        py0s = py0s[ids]
+        n_loop = int(active_t)
+    return ids, py0s, px0s, n_loop
+
+
 def _packed_tile_grad(tile_pos, sy, sx, window, tiles_shape, tiles_dtype,
                       k, u, v, M, ct, active_t=None):
     """The per-tile adjoint gradient body, full (D, h, w) layout.
@@ -536,29 +571,8 @@ def _packed_tile_grad(tile_pos, sy, sx, window, tiles_shape, tiles_dtype,
     gu = jnp.arange(tw, dtype=jnp.float32)
     gv = jnp.arange(th, dtype=jnp.float32)
 
-    # window origins (and activity) for ALL tiles, vectorized
-    px_min, px_max, py_min, py_max, wild = _tile_pixel_bbox(
-        tile_pos, sy, sx, M)
-    px0s = jnp.clip(jnp.floor(px_min).astype(jnp.int32) - 1, 0, w - Wp)
-    py0s = jnp.clip(jnp.floor(py_min).astype(jnp.int32) - 1, 0, h - Wp)
-    ids = jnp.arange(N, dtype=jnp.int32)
-    n_loop = N
-    if active_t is not None and active_t < N:
-        # a tile can own a pixel only if its projected bbox reaches the
-        # patch (margin 2 px covers the -1 floor + bilinear halo); wild
-        # tiles are kept conservatively.  Inactive tiles have mine == 0
-        # everywhere, so dropping them is exact — active_tile_bound()
-        # guarantees the bound with the same test + jitter margin.
-        act = ((px_max >= -2.0) & (px_min <= w + 1.0)
-               & (py_max >= -2.0) & (py_min <= h + 1.0)) | wild
-        # stable compaction: active ids first, packed order preserved;
-        # overflow beyond the bound pads with inactive ids (exact: they
-        # contribute zero) rather than dropping grads
-        order = jnp.argsort(jnp.logical_not(act), stable=True)
-        ids = order[: int(active_t)].astype(jnp.int32)
-        px0s = px0s[ids]
-        py0s = py0s[ids]
-        n_loop = int(active_t)
+    ids, py0s, px0s, n_loop = _window_plan(
+        tile_pos, sy, sx, M, h, w, Wp, active_t)
 
     # Pack (k, u, v, ct) into ONE (D, h, w, 3+K) array so the window
     # extraction reads each operand together.  k fits f32 exactly (tile
@@ -677,6 +691,18 @@ def make_tile_adjoint_compacted(tile_pos, spans, window,
     saved one-hot (exact transpose of the selection) and reuses the
     full-layout per-tile gradient body — same windows, same weights,
     same result as the uncompacted sampler.
+
+    MEASURED REJECTION (round 4, v5e): running the per-tile gradient
+    body directly on the slot layout — windows gathered from a packed
+    (S, h, w, 3+K) array, per-pixel 0/1 slot-select, no dense
+    expansion — removes ~12 GB/step of expansion traffic on paper but
+    measured 320-365 ms/step vs 236.7 for this expansion path (bench
+    --fused, three extraction variants: slot-major multi-region slices,
+    a slot-minor relayout, and per-slot row descriptors).  The windows
+    cover ~Wp^2 pixels per tile vs ~th*tw texels, so slot-layout window
+    reads cost S x Wp^2 rows/tile and their gather-output
+    materialization in the lax.map exceeds everything the expansion
+    saves.  Don't retry without shrinking the window read itself.
     """
     import numpy as np
 
