@@ -391,18 +391,22 @@ def gpnn_lowmem_retarget(x, y, patch_size=7, patcht_size=7, stride=2,
     # running ~12 sequential dispatches of tiny GEMMs — 500 ms/step of
     # pure serialization at <25% HBM and 0.12% MFU (round-4 profile).
     # ~6 patch-tensor-sized f32 buffers are live per crop pair
-    # (Xp/Yp, their Xf/Yf transposes, sel, fold).  v5e sweeps at
-    # production scale: the 11x11 refview config is dispatch-bound and
-    # wants big chunks (chunk 2 -> ~708 ms, 4 -> 453, 8 -> 441); the
-    # 3x3 other-view config is HBM-bound and wants moderate ones
-    # (chunk ~12 @ 1.2 GB -> 249 ms, all-crops @ 4 GB -> 294).  A
-    # 1.2 GB budget with a floor of 4 concurrent crops hits both
-    # optima (VL3D_LM_CHUNK_BUDGET overrides the budget).
+    # (Xp/Yp, their Xf/Yf transposes, sel, fold).  The two production
+    # configs want OPPOSITE budgets (v5e sweeps at production scale):
+    # the 3x3 other-view config runs next to an HBM-edge render step
+    # and pages above ~1.5 GB of concurrent loss temps (chunk ~12
+    # @ 1.2 GB -> 249 ms, all 15 crops @ 1.9 GB -> 294), while the
+    # 11x11 ref-view config is utilization-bound — few, wide GEMMs —
+    # and wants every crop in flight (budget 1.5e9 -> 643 ms,
+    # 4e9 -> 453, 8e9 -> 441).  The flat patch GEMM width `dim_c`
+    # separates them: wide-patch configs (dim >= 512) get an 8 GB
+    # budget, narrow ones 1.2 GB (VL3D_LM_CHUNK_BUDGET overrides).
     nt_c = n_patches(fit_tx, patcht_size, stridet)
     nhw_c = n_patches(macro, patch_size, stride)
     dim_c = C * patcht_size * patch_size * patch_size
     per_crop = 6 * nt_c * nhw_c * nhw_c * dim_c * 4
-    budget = float(os.environ.get("VL3D_LM_CHUNK_BUDGET", 1.2e9))
+    default_budget = 8e9 if dim_c >= 512 else 1.2e9
+    budget = float(os.environ.get("VL3D_LM_CHUNK_BUDGET", default_budget))
     chunk = max(1, min(len(x_crops),
                        max(4, int(budget / max(per_crop, 1)))))
     y2x_crops = jax.lax.map(
