@@ -10,9 +10,11 @@ loss code is pure so it jits cleanly.  Two phases:
 
 Rendering is the homography plane sweep (see render/renderer.py) —
 mathematically identical to the reference's rasterize+UV path for
-fronto-parallel planes.  Vertex optimization (`optimize_geo`, disabled in
-every shipped reference config via optimize_geo_start=1e7) is not wired to
-the renderer; `verts` is kept as a parameter for checkpoint/export parity.
+fronto-parallel planes.  Vertex optimization (`optimize_geo`) IS wired:
+render/geo_warp.py warps the sample grid by the per-plane vertex offsets
+and train/stage1.py:449-470 schedules the geometry phase (ref
+config_parser.py:153-156; disabled in every shipped reference config via
+optimize_geo_start=1e7, same default here).
 """
 from __future__ import annotations
 
