@@ -19,12 +19,12 @@ def main() -> None:
     ap.add_argument("--views", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--cpu", action="store_true")
-    opts = ap.parse_args()
+    opts, extra = ap.parse_known_args()
 
     if opts.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
     from videoloop3d_tpu.config import parse_args_with_configs
-    args = parse_args_with_configs(["--config", opts.config])
+    args = parse_args_with_configs(["--config", opts.config] + extra)
     if opts.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")

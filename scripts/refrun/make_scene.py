@@ -25,10 +25,13 @@ def main() -> None:
     ap.add_argument("--frames", type=int, default=24)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--factor", type=int, default=1)
+    ap.add_argument("--variant", default="basic",
+                    choices=("basic", "rich"))
     args = ap.parse_args()
 
     scene = synthetic.make_scene(n_views=args.views, h=args.h, w=args.w,
-                                 n_frames=args.frames, seed=args.seed)
+                                 n_frames=args.frames, seed=args.seed,
+                                 variant=args.variant)
     synthetic.write_llff_dir(scene, args.outdir, factor=args.factor,
                              container="tif")
     print(f"wrote {args.views} views {args.h}x{args.w}x{args.frames} "

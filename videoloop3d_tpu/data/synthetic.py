@@ -75,12 +75,23 @@ def checker(h, w, period, phase=0.0, channels=3, seed=0):
     return base[..., None] * color[None, None]
 
 
-def make_scene(n_views=3, h=48, w=64, n_frames=8, seed=0):
+def make_scene(n_views=3, h=48, w=64, n_frames=8, seed=0,
+               variant="basic"):
     """A tiny 2-plane scene: static far plane + looping near plane.
+
+    variant="rich" (the h2h scene 2, VERDICT r4 item 7): three planes
+    (static far, static mid occluder, looping near), a tighter rig
+    (offset step 0.08 vs 0.15) and a wider near-plane alpha region so
+    the rig-end views are NOT content-thin — the "basic" scene's views
+    7-9 see almost no dynamic content, which dominated the round-4
+    per-view PSNR spread on both h2h sides.
 
     Returns dict: videos (V, F, h, w, 3) float[0,1], poses (V,3,4),
     intrins (V,3,3), bds (2,), plane description (for oracles).
     """
+    if variant == "rich":
+        return _make_scene_rich(n_views, h, w, n_frames, seed)
+    assert variant == "basic", variant
     rng = np.random.default_rng(seed)
     focal = 0.9 * w
     intrin = np.array([[focal, 0, w / 2], [0, focal, h / 2], [0, 0, 1]],
@@ -123,6 +134,69 @@ def make_scene(n_views=3, h=48, w=64, n_frames=8, seed=0):
             rgb, _ = raycast_planes(
                 poses[v], intrins[v], h, w, depths,
                 [far_tex, near_tex], plane_intrin)
+            videos[v, f] = rgb
+    return {
+        "videos": videos,
+        "poses": poses,
+        "intrins": intrins,
+        "bds": np.array([near, far], np.float32),
+        "plane_depths": depths,
+        "plane_intrin": plane_intrin,
+        "plane_texs_hw": (th, tw),
+    }
+
+
+def _make_scene_rich(n_views, h, w, n_frames, seed):
+    """Scene 2 of the h2h protocol: 3 planes, no content-thin views."""
+    rng = np.random.default_rng(seed)
+    focal = 0.9 * w
+    intrin = np.array([[focal, 0, w / 2], [0, focal, h / 2], [0, 0, 1]],
+                      np.float32)
+    depths = np.array([4.5, 3.0, 2.0], np.float32)      # far, mid, near
+    near, far = 1.5, 6.0
+
+    th, tw = int(h * 1.5), int(w * 1.5)
+    plane_intrin = intrin.copy()
+    plane_intrin[0, 2] += (tw - w) / 2
+    plane_intrin[1, 2] += (th - h) / 2
+
+    far_tex = np.concatenate(
+        [checker(th, tw, 14, 0.0, seed=seed), np.ones((th, tw, 1))], -1)
+    # static mid occluder: two solid blobs, offset from center
+    mid_base = checker(th, tw, 7, 0.5, seed=seed + 2)
+    mid_alpha = np.zeros((th, tw, 1), np.float32)
+    mid_alpha[th // 8: 3 * th // 8, tw // 10: 4 * tw // 10] = 0.95
+    mid_alpha[5 * th // 8: 7 * th // 8, 6 * tw // 10: 9 * tw // 10] = 0.95
+    # looping near plane: wide alpha band so EVERY view sees motion
+    near_base = checker(th, tw, 9, 1.0, seed=seed + 1)
+    near_alpha = np.zeros((th, tw, 1), np.float32)
+    near_alpha[th // 8: 7 * th // 8, tw // 8: 7 * tw // 8] = 0.9
+
+    poses = []
+    for v in range(n_views):
+        offset = (v - (n_views - 1) / 2) * 0.08
+        pose = np.eye(4, dtype=np.float32)[:3]
+        pose[0, 3] = offset
+        pose[1, 3] = offset * 0.25
+        poses.append(pose)
+    poses = np.stack(poses)
+    intrins = np.repeat(intrin[None], n_views, axis=0)
+
+    mid_tex = np.concatenate([mid_base, mid_alpha], -1)
+    videos = np.zeros((n_views, n_frames, h, w, 3), np.float32)
+    for f in range(n_frames):
+        phase = 2 * np.pi * f / n_frames
+        # two looping motions: a brightness pulse + a texture roll
+        near_tex = np.concatenate(
+            [near_base * (0.75 + 0.25 * np.sin(phase)), near_alpha], -1)
+        shift = int(round(4 * np.sin(phase)))
+        near_tex = np.roll(near_tex, shift, axis=1)
+        shift_v = int(round(2 * np.cos(phase)))
+        near_tex = np.roll(near_tex, shift_v, axis=0)
+        for v in range(n_views):
+            rgb, _ = raycast_planes(
+                poses[v], intrins[v], h, w, depths,
+                [far_tex, mid_tex, near_tex], plane_intrin)
             videos[v, f] = rgb
     return {
         "videos": videos,

@@ -406,9 +406,15 @@ def gpnn_lowmem_retarget(x, y, patch_size=7, patcht_size=7, stride=2,
     dim_c = C * patcht_size * patch_size * patch_size
     per_crop = 6 * nt_c * nhw_c * nhw_c * dim_c * 4
     default_budget = 8e9 if dim_c >= 512 else 1.2e9
-    budget = float(os.environ.get("VL3D_LM_CHUNK_BUDGET", default_budget))
+    budget_env = os.environ.get("VL3D_LM_CHUNK_BUDGET")
+    budget = float(budget_env) if budget_env else default_budget
+    # Floor the DEFAULT at 4 concurrent crops (the latency sweet spot in
+    # the budget sweep above), but let an explicit VL3D_LM_CHUNK_BUDGET
+    # drive chunk all the way down to 1 — the escape hatch for
+    # HBM-edge configs must be able to actually shrink memory.
+    floor = 1 if budget_env else 4
     chunk = max(1, min(len(x_crops),
-                       max(4, int(budget / max(per_crop, 1)))))
+                       max(floor, int(budget / max(per_crop, 1)))))
     y2x_crops = jax.lax.map(
         lambda xy: nn_retarget(xy[0], xy[1], psz, strides, alpha,
                                dist_fn, fast_nn_dist),

@@ -316,6 +316,51 @@ class MPMesh:
         rgb = rgb * coords.valid[..., None]
         return rgb, alpha
 
+    def _render_fused_dense(self, params, cfg, coords, feats, mask_feats,
+                            need_mask, rng):
+        """Dense training render through the stage-1 fused custom-vjp
+        (render/fused_s1.py).  Returns (rgbl, variables) shaped exactly
+        like the unfused path; variables carries 'fused_regs' instead of
+        the per-plane stacks (consumed by forward())."""
+        from videoloop3d_tpu.render.fused_s1 import (FusedS1Cfg,
+                                                     fused_composite_s1)
+        want_disp = cfg.d_smooth_on
+        if want_disp:
+            z = jnp.where(coords.valid, coords.zview, 1.0)
+            dinv = (1.0 / z - 1.0 / self.geom.far) \
+                / (1.0 / self.geom.near - 1.0 / self.geom.far)
+            # zero cotangent contract (see render/fused_s1.py docstring)
+            dinv = jax.lax.stop_gradient(
+                jnp.where(coords.valid, dinv, 0.0).astype(jnp.float32))
+        else:
+            dinv = jnp.zeros((1, 1, 1, 1), jnp.float32)
+        mf = mask_feats[..., 0] if need_mask \
+            else jnp.zeros((1, 1, 1, 1), jnp.float32)
+        fcfg = FusedS1Cfg(n_planes=self.geom.n_planes,
+                          use_sparsity=cfg.sparsity_on,
+                          use_rgb_smooth=cfg.rgb_smooth_on,
+                          use_a_smooth=cfg.a_smooth_on,
+                          use_l_smooth=cfg.l_smooth_on and need_mask,
+                          use_loop=need_mask,
+                          want_disp=want_disp,
+                          sp_eps=cfg.sparsity_eps)
+        out_rgb, alpha_sum, disp, label, regsums = fused_composite_s1(
+            fcfg, feats, coords.valid, mf, dinv)
+        bg = parse_bg_color(cfg.bg_color, rng)
+        out_rgb = R.apply_background(out_rgb, alpha_sum, bg)
+        if want_disp and cfg.normalize_blendweight_fordepth:
+            disp = disp / jnp.clip(alpha_sum, 1e-10, None)
+        variables = {
+            "alpha_planes": None, "rgb_planes": None,
+            "blend_weight": None, "loop_planes": None,
+            "disp_norm": disp, "alpha": alpha_sum,
+            "fused_regs": regsums,
+        }
+        rgbl = out_rgb
+        if need_mask:
+            rgbl = jnp.concatenate([out_rgb, label], axis=-1)
+        return rgbl, variables
+
     def render(self, params, h, w, extrins, intrins, training=False,
                rng=None):
         """Render (relative-extrinsic) views.  Parity: MPI.py:452-594.
@@ -372,8 +417,6 @@ class MPMesh:
                 block_hw, tb_hw, grad_plan)
             if need_mask:
                 feats, mask_feats = feats[..., :-1], feats[..., -1:]
-            rgb_p, alpha_p = self._decode(feats, coords, intrins, extrins,
-                                          decoder)
         elif not self.is_sparse:
             src = params["atlas"]
             if need_mask:
@@ -381,9 +424,26 @@ class MPMesh:
             feats = R.sample_dense(src, sample_coords)
             if need_mask:
                 feats, mask_feats = feats[..., :-1], feats[..., -1:]
+        else:
+            feats = None
+        if feats is not None:
+            # --fused_render (stage-1 dense): decode + composite +
+            # loop-mask composite + stack regularizers as ONE custom-vjp
+            # (render/fused_s1.py) — kills the autodiff backward of the
+            # reverse-cumprod / L1-L2 / |diff| chain (~19 ms of the
+            # 57 ms step, ROADMAP item 6).  Orthogonal to the sampler
+            # choice (adjoint or gather) and to geo-warp/uv-noise, which
+            # only change feats/coords.
+            if (training and cfg.fused_render
+                    and cfg.rgb_mlp_type == "direct"
+                    and cfg.rgb_activate == "sigmoid"
+                    and cfg.alpha_activate == "sigmoid"):
+                return self._render_fused_dense(
+                    params, cfg, coords, feats, mask_feats, need_mask,
+                    rng)
             rgb_p, alpha_p = self._decode(feats, coords, intrins, extrins,
                                           decoder)
-        else:
+        if self.is_sparse:
             if training and getattr(self, "lookup_spans", None) is not None:
                 k_s, k_d, fu, fv = R.tile_lookup2_blocked(
                     self.geom, self.tile_map_static, self.tile_map_dyn,
@@ -465,6 +525,25 @@ class MPMesh:
         rgbl, variables = self.render(params, h, w, rel, tar_intrins,
                                       training, rng)
         extra = {}
+        if training and variables.get("fused_regs") is not None:
+            # --fused_render path: the stack regularizers were computed
+            # inside the fused custom-vjp (same formulas; fused_s1.py).
+            cfg = self.cfg
+            regsums = variables["fused_regs"]
+            if cfg.sparsity_on:
+                extra["sparsity"] = regsums["sparsity"]
+            if cfg.rgb_smooth_on:
+                extra["rgb_smooth"] = regsums["rgb_smooth"]
+            if cfg.a_smooth_on:
+                extra["a_smooth"] = regsums["a_smooth"]
+            if cfg.d_smooth_on:
+                extra["d_smooth"] = regs.depth_smooth_loss(
+                    variables["disp_norm"], rgbl[..., :3], cfg.edge_scale)
+            if cfg.l_smooth_on and "l_smooth" in regsums:
+                extra["l_smooth"] = regsums["l_smooth"]
+            if cfg.density_on:
+                extra["density"] = regs.density_loss(variables["alpha"])
+            return rgbl, extra
         if training:
             cfg = self.cfg
             a = variables["alpha_planes"]

@@ -344,8 +344,13 @@ class MPMeshVid:
                 from videoloop3d_tpu.render.fused import (FusedCfg,
                                                           fused_composite)
                 zv0 = cs.zview if compact else coords.zview[0]
-                dinv = jnp.where(valid0,
-                                 1.0 / jnp.where(valid0, zv0, 1.0), 0.0)
+                # fused_composite declares a ZERO cotangent for dinv
+                # (its VJP never differentiates through the disparity
+                # depths); make that contract explicit here so a future
+                # learnable-depth caller can't silently lose gradients.
+                dinv = jax.lax.stop_gradient(
+                    jnp.where(valid0,
+                              1.0 / jnp.where(valid0, zv0, 1.0), 0.0))
                 fcfg = FusedCfg(n_planes=self.geom.n_planes,
                                 use_sparsity=cfg.sparsity_on,
                                 use_rgb_smooth=cfg.rgb_smooth_on,

@@ -24,6 +24,12 @@ is tested against jax.grad of the unfused path (tests/test_fused.py).
 
 Scope: the shipped stage-2 config (rgb_mlp_type=direct, sigmoid rgb and
 alpha activations); the model falls back to the unfused path otherwise.
+Non-diff contract: the VJP returns a ZERO cotangent for ``dinv`` even
+though ``disp`` depends on it — dinv derives from camera geometry, never
+from parameters, and the call site (models/mpv.py) wraps it in
+stop_gradient to make that explicit.  A future learnable-depth caller
+must extend ``_fused_bwd`` with the true per-slot cotangent
+(sum over F of g_disp * bw) before removing that stop_gradient.
 Parity: the math is the reference's MPV.py:425-475 composite +
 MPV.py:511-551 regularizers, reassociated (sequential product instead of
 a scan tree), so rendered values match to float-reassociation level.
