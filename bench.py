@@ -320,6 +320,10 @@ def measure_split(model, args, params, batch, losscfg, ph, pw, iters=5):
     render_fwd = jax.jit(lambda p: model.render(
         p, ph, pw, batch["extrin"], batch["intrin"], None,
         training=True)[0])
+    render_grad = jax.jit(lambda p, ct: jax.vjp(
+        lambda q: model.render(q, ph, pw, batch["extrin"],
+                               batch["intrin"], None,
+                               training=True)[0], p)[1](ct))
     loss_fwd = jax.jit(lambda p: loss_fn(p, batch, weights, rng)[0])
     loss_grad = jax.jit(lambda p: jax.grad(
         lambda q: loss_fn(q, batch, weights, rng)[0])(p))
@@ -332,6 +336,30 @@ def measure_split(model, args, params, batch, losscfg, ph, pw, iters=5):
                                  - split["loss_fwd_ms"], 1)
     split["loss_nn_ms"] = round(split["loss_fwd_ms"]
                                 - split["render_fwd_ms"], 1)
+    try:
+        ct0 = render_fwd(params)
+        split["render_fwd_bwd_ms"] = round(timeit(render_grad, params,
+                                                  ct0), 1)
+    except Exception:
+        pass
+    # per-subprogram byte inventory (VERDICT r4 item 4): XLA's own
+    # 'bytes accessed' per compiled piece, so the 90%-HBM step's
+    # traffic is attributable (render fwd vs render fwd+bwd vs NN loss)
+    try:
+        ct = render_fwd(params)
+        inv = {}
+        for name, low in (
+                ("render_fwd", render_fwd.lower(params)),
+                ("render_fwd_bwd", render_grad.lower(params, ct)),
+                ("loss_fwd", loss_fwd.lower(params)),
+                ("full_fwd_bwd", loss_grad.lower(params))):
+            ca = xla_cost_analysis(low.compile())
+            if "bytes accessed" in ca:
+                inv[name] = round(float(ca["bytes accessed"]) / 1e9, 2)
+        if inv:
+            split["gbytes"] = inv
+    except Exception as e:  # inventory is best-effort diagnostics
+        split["gbytes_error"] = str(e)[:120]
     return split
 
 

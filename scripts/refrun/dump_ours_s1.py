@@ -51,7 +51,12 @@ def main() -> None:
                    float(bds.min()), float(bds.max()))
     import dataclasses as _dc
     rundir = os.path.join(args.prefix, args.expdir, args.expname)
-    path = ckpt_io.latest_checkpoint(rundir)
+    # pin the SAME checkpoint stage 2 initializes from (epoch 98 — the
+    # reference side's save rule never writes a later one), not the
+    # lexicographically-latest (epoch 99)
+    pinned = os.path.join(rundir, "ckpt_epoch_0098.npz")
+    path = pinned if os.path.exists(pinned) \
+        else ckpt_io.latest_checkpoint(rundir)
     loaded = ckpt_io.load_checkpoint(path)
     meta = loaded["meta"]
     model.geom = loaded["geom"]
