@@ -131,6 +131,10 @@ def run_stage1_bench(iters):
             "--a_smooth_loss_weight", "0.5",
             "--density_loss_weight", "0.02", "--density_loss_epoch", "60",
             "--lrate", "0.05"]
+    # stage-1 fused decode/composite/reg custom-vjp (render/fused_s1.py);
+    # ON by default like the shipped config, VL3D_STAGE1_FUSED=0 to A/B
+    if os.environ.get("VL3D_STAGE1_FUSED", "1") != "0":
+        argv.append("--fused_render")
     args = parse_args_with_configs(argv)
     ref_extrin = np.eye(4, dtype=np.float32)
     focal = 0.9 * W

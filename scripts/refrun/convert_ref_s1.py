@@ -68,13 +68,28 @@ def _unpack_tiles(atlas, faces, grid_h, grid_w, Hv, Wv, depth_map):
 
 
 def _resize_tiles(tiles, th, tw):
+    """ALIGN-CORNERS bilinear resize: both tilings sample the tile's
+    INCLUSIVE span (ref linspace(0, uvsz, imsz), our (a/(th-1))*span),
+    so corners map to corners — jax.image.resize's half-pixel centers
+    would shift every texel."""
     if tiles.shape[1:3] == (th, tw):
         return tiles
-    import jax
-    import jax.numpy as jnp
-    n, _, _, C = tiles.shape
-    out = jax.image.resize(jnp.asarray(tiles), (n, th, tw, C), "linear")
-    return np.asarray(out, np.float32)
+    n, ih, iw, C = tiles.shape
+
+    def interp1d(x, axis, n_out, n_in):
+        pos = np.arange(n_out) * (n_in - 1) / (n_out - 1)
+        i0 = np.clip(np.floor(pos).astype(int), 0, n_in - 2)
+        f = (pos - i0).astype(np.float32)
+        a = np.take(x, i0, axis=axis)
+        b = np.take(x, i0 + 1, axis=axis)
+        shape = [1] * x.ndim
+        shape[axis] = n_out
+        f = f.reshape(shape)
+        return a * (1 - f) + b * f
+
+    out = interp1d(tiles, 1, th, ih)
+    out = interp1d(out, 2, tw, iw)
+    return out.astype(np.float32)
 
 
 def main() -> None:
@@ -130,7 +145,6 @@ def main() -> None:
           f"(ref order {'reversed' if depth_map[0] != 0 else 'same'})")
 
     D, nth, ntw = geom.n_planes, geom.n_tiles_h, geom.n_tiles_w
-    th, tw = geom.default_tile_texels()
 
     st_tiles, st_flat = _unpack_tiles(
         sd["atlas"].detach().numpy(), sd["faces"].numpy(),
@@ -140,10 +154,16 @@ def main() -> None:
         sd["atlas_dyn"].detach().numpy(), sd["faces_dyn"].numpy(),
         int(sd["self.atlas_grid_dyn_h"]), int(sd["self.atlas_grid_dyn_w"]),
         Hv, Wv, depth_map)
+    # Keep the REFERENCE's tile resolution as our tile_hw: our sampler
+    # reads fu*(tw-1), the reference's rasterizer fu*(imsz-1) — with
+    # tile_hw == imsz the copied texels are sampled IDENTICALLY (no
+    # resize, no double-interpolation loss: a 12->13 align-corners
+    # resize measured -4 dB PSNR on the checker background).
+    th, tw = st_tiles.shape[1:3]
+    assert dyn_tiles.shape[1:3] == (th, tw)
     print(f"[convert] {len(st_tiles)} static + {len(dyn_tiles)} dynamic "
-          f"tiles, imsz {st_tiles.shape[1:3]} -> tile_hw {(th, tw)}")
-    st_tiles = _resize_tiles(st_tiles, th, tw)
-    dyn_tiles = _resize_tiles(dyn_tiles, th, tw)
+          f"tiles at reference tile_hw {(th, tw)} "
+          f"(ours default {geom.default_tile_texels()})")
 
     tm_s = np.full(D * nth * ntw, -1, np.int32)
     tm_s[st_flat] = np.arange(len(st_flat), dtype=np.int32)
@@ -151,6 +171,26 @@ def main() -> None:
     tm_d[dyn_flat] = np.arange(len(dyn_flat), dtype=np.int32)
     assert not np.any((tm_s >= 0) & (tm_d >= 0)), \
         "a tile is both static and dynamic"
+
+    # Pixel-center convention correction (+0.5 texel, both axes):
+    # pytorch3d's NDC places pixel i's center at (W-2i-1)/S, and the
+    # reference's intrinsic normalization (MPI.py:459-470) therefore
+    # samples intrinsic coordinate i+0.5 for pixel i, while this repo's
+    # homography sweep samples integer centers.  Both are
+    # self-consistent, but the reference's plane CONTENT lives +0.5
+    # texel (in plane-intrinsic units, uniformly at every depth) from
+    # ours.  Measured: an impulse texel renders 0.5 px down-right of
+    # where our sweep reads it (diagonal 1-px roll aligns the full
+    # render to 37 dB).  Shifting the converted geometry's plane
+    # principal point by +0.5 relabels plane coordinates exactly — no
+    # tile resampling, no seam loss.
+    import dataclasses as _dc
+    km = np.asarray(geom.ref_intrin_mpi, np.float64).copy()
+    km[0, 2] += 0.5
+    km[1, 2] += 0.5
+    geom = _dc.replace(
+        geom, ref_intrin_mpi=tuple(tuple(float(v) for v in row)
+                                   for row in km))
 
     params = {"atlas": st_tiles, "atlas_dyn": dyn_tiles,
               "verts": np.asarray(model.init_params(0)["verts"])}
