@@ -97,3 +97,42 @@ def test_loopable_mask_classification():
     assert mask[:, 10:14].mean() > 0.8
     assert mask[:, 0:6].mean() < 0.2
     assert mask[:, 19:].mean() < 0.2
+
+
+def test_stage1_dataset_cache(tmp_path, monkeypatch):
+    """The vid2img/loop-mask disk cache must round-trip exactly and
+    skip recomputation on the second construction."""
+    import numpy as np
+    from videoloop3d_tpu.data import patches as P
+
+    rng = np.random.default_rng(0)
+    videos = [(rng.random((4, 12, 16, 3)) * 255).astype(np.uint8)
+              for _ in range(2)]
+    poses = np.repeat(np.eye(4, dtype=np.float32)[None, :3], 2, 0)
+    intr = np.array([[10.0, 0, 8], [0, 10.0, 6], [0, 0, 1]], np.float32)
+    intrins = np.repeat(intr[None], 2, 0)
+    kw = dict(patch_size=(6, 8), patch_stride=(4, 6), poses=poses,
+              intrins=intrins, mode="average")
+    cdir = str(tmp_path / "cache")
+
+    d1 = P.ImagePatchDataset((12, 16), videos, cache_dir=cdir, **kw)
+    import os
+    files = os.listdir(cdir)
+    assert len(files) == 2
+
+    calls = []
+    real = P.compute_loopable_mask
+    monkeypatch.setattr(P, "compute_loopable_mask",
+                        lambda v: calls.append(1) or real(v))
+    d2 = P.ImagePatchDataset((12, 16), videos, cache_dir=cdir, **kw)
+    assert not calls, "cache hit must skip the mask heuristic"
+    for a, b in zip(d1.images, d2.images):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(d1.masks, d2.masks):
+        np.testing.assert_array_equal(a, b)
+
+    # changed content -> cache miss (checksum in the key)
+    videos2 = [v.copy() for v in videos]
+    videos2[0][:] = 0
+    P.ImagePatchDataset((12, 16), videos2, cache_dir=cdir, **kw)
+    assert calls, "changed video must recompute"

@@ -7,6 +7,8 @@ train_3dvid.py:22-66 (MVVidPatchDataset), utils.py:115-134
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from videoloop3d_tpu.core import cameras
@@ -79,28 +81,52 @@ class ImagePatchDataset(PatchSampler):
     Parity: train_3d.py:20-95."""
 
     def __init__(self, hw, videos, patch_size, patch_stride, poses, intrins,
-                 mode="average"):
+                 mode="average", cache_dir=None):
         # None entries = views whose pixels live on another process
         # (multi-host per-process loading, --shard_views); geometry is
         # still built for them, only images/masks are absent.
         raw_hw = next(v for v in videos if v is not None).shape[1:3]
         super().__init__(hw, len(videos), patch_size, patch_stride, poses,
                          intrins, raw_hw)
+        # cache_dir: persist the collapsed images + loopable masks per
+        # (view, resolution, mode) — the vid2img collapse and the
+        # min/max-tracking mask heuristic are host-CPU work over every
+        # frame and dominate dataset construction at production scale
+        # (part of the measured ~13 s stage-1 init, EVIDENCE.md §6);
+        # resumes/reruns of the same scene skip it entirely.  Guarded by
+        # a cheap content checksum so a changed video invalidates.
         self.images = []
         self.masks = []
-        for vid in videos:
+        for vi, vid in enumerate(videos):
             if vid is None:
                 self.images.append(None)
                 self.masks.append(None)
                 continue
+            cpath = None
+            if cache_dir:
+                tag = np.asarray(vid, np.uint8).reshape(-1)[::100_003]
+                chk = int(tag.astype(np.uint64).sum() % (1 << 31))
+                cpath = os.path.join(
+                    cache_dir, f"s1img_v{vi:02d}_{self.h}x{self.w}"
+                               f"_{mode}_{vid.shape[0]}f_{chk}.npz")
+                if os.path.exists(cpath):
+                    with np.load(cpath) as z:
+                        self.images.append(z["img"])
+                        self.masks.append(z["mask"])
+                    continue
             vid = video_io.resize_video(vid, self.h, self.w)
             vidf = vid.astype(np.float32) / 255.0
             img = video_io.collapse_video(vidf, mode)
             mask = compute_loopable_mask(vidf).astype(np.float32)
             ph, pw = self.pad
-            img = np.pad(img, ((0, ph), (0, pw), (0, 0)))
+            img = np.pad(img, ((0, ph), (0, pw), (0, 0))).astype(np.float32)
             mask = np.pad(mask, ((0, ph), (0, pw)))
-            self.images.append(img.astype(np.float32))
+            if cpath:
+                os.makedirs(cache_dir, exist_ok=True)
+                tmp = cpath + ".tmp.npz"
+                np.savez(tmp, img=img, mask=mask)
+                os.replace(tmp, cpath)
+            self.images.append(img)
             self.masks.append(mask)
 
     def __getitem__(self, item):

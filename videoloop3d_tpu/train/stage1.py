@@ -302,10 +302,19 @@ def train(args, progress_cb=None):
             print(f"[stage1] auto-resuming from {latest} "
                   f"at epoch {start_epoch}")
 
+    # vid2img/loop-mask disk cache: shared across runs and resumes of
+    # the same scene (keyed by view/resolution/mode + content checksum);
+    # disable with VL3D_DATA_CACHE=off
+    cache_env = os.environ.get("VL3D_DATA_CACHE", "")
+    data_cache = None if cache_env.lower() in ("off", "0") else (
+        cache_env or os.path.join(args.prefix, args.expdir,
+                                  ".data_cache",
+                                  os.path.basename(
+                                      args.datadir.rstrip("/\\"))))
     dataset = ImagePatchDataset(
         (H, W), videos, (args.patch_h_size, args.patch_w_size),
         (args.patch_h_stride, args.patch_w_stride), poses, intrins,
-        args.vid2img_mode)
+        args.vid2img_mode, cache_dir=data_cache)
 
     def set_sparse_bounds():
         """Post-cull --compact_tiles / --blocked_lookup bounds
