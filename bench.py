@@ -469,6 +469,13 @@ def main():
                          "jit specialization) and report it as "
                          "refview_step_ms + refview_hw; skipped with "
                          "--quick")
+    ap.add_argument("--refview-fast-nn", action=argparse.BooleanOptionalAction,
+                    default=False,
+                    help="temporally-decomposed NN search for the "
+                         "ref-view measurement (candidate fix for the "
+                         "latency-bound 11x11 step at 62%% HBM, where "
+                         "the bytes-for-FLOPs trade should flip; "
+                         "default follows the shipped config)")
     ap.add_argument("--stage1-internal", action="store_true",
                     help=argparse.SUPPRESS)
     opts = ap.parse_args()
@@ -616,7 +623,8 @@ def main():
         try:
             losscfg_ref = dict(losscfg, patch_size=11, patcht_size=3,
                                stride=4, stridet=1, alpha=0,
-                               loss_gain=3.5)
+                               loss_gain=3.5,
+                               fast_nn_dist=bool(opts.refview_fast_nn))
             step_r, opt_init_r = make_stage2_step(model, args, ph, pw,
                                                   losscfg_ref)
             opt_state_r = opt_init_r(params)

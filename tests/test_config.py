@@ -67,3 +67,20 @@ def test_shipped_stage2_config_fast_paths_on():
     assert args.blocked_lookup       # per-scanline tile-map block fetch
     # measured HBM-bound at training patch sizes: must stay OFF
     assert not args.fast_nn_dist
+
+
+def test_fast_nn_dist_per_view_override():
+    """--fast_nn_dist_ref/_other override the global flag per loss
+    config; '' inherits (the shipped split: ref-view 11x11 ON because
+    that step is latency-bound, other-view 3x3 OFF because it is
+    HBM-bound)."""
+    from videoloop3d_tpu.train.stage2 import loss_config_from_args
+    args = C.parse_args_with_configs(["--fast_nn_dist_ref", "on"])
+    assert loss_config_from_args(args, ref=True)["fast_nn_dist"]
+    assert not loss_config_from_args(args, ref=False)["fast_nn_dist"]
+    args = C.parse_args_with_configs(["--fast_nn_dist",
+                                      "--fast_nn_dist_ref", "off"])
+    assert not loss_config_from_args(args, ref=True)["fast_nn_dist"]
+    assert loss_config_from_args(args, ref=False)["fast_nn_dist"]
+    args = C.parse_args_with_configs([])
+    assert not loss_config_from_args(args, ref=True)["fast_nn_dist"]

@@ -157,6 +157,19 @@ def build_parser() -> argparse.ArgumentParser:
                         "distances (F^2 vs ntx*nty*pt GEMM FLOPs; "
                         "exact up to float summation order / argmin "
                         "ties — see losses/patch_nn.py)")
+    p.add_argument("--fast_nn_dist_ref", type=str, default="",
+                   choices=["", "on", "off"],
+                   help="per-view override of --fast_nn_dist for the "
+                        "reference-view loss config ('' inherits). The "
+                        "two shipped configs sit on opposite sides of "
+                        "the bytes-for-FLOPs trade: the 3x3 other-view "
+                        "step is HBM-bound (decomposition loses), the "
+                        "11x11 ref-view step is latency-bound at 62% "
+                        "HBM (decomposition wins)")
+    p.add_argument("--fast_nn_dist_other", type=str, default="",
+                   choices=["", "on", "off"],
+                   help="per-view override of --fast_nn_dist for the "
+                        "other-view loss config ('' inherits)")
     p.add_argument("--fused_render", action="store_true",
                    help="stage-2 fused decode+composite+regularizers "
                         "with a hand-derived VJP: nothing (S,h,w,F)-"

@@ -55,6 +55,10 @@ def loss_config_from_args(args, ref=False):
         "num_proj": args.swd_num_proj,
         "fast_nn_dist": bool(getattr(args, "fast_nn_dist", False)),
     }
+    ovr = getattr(args, "fast_nn_dist_ref" if ref else "fast_nn_dist_other",
+                  "")
+    if ovr:
+        cfg["fast_nn_dist"] = (ovr == "on")
     return cfg
 
 
