@@ -15,7 +15,8 @@ import sys
 
 import numpy as np
 
-COLS = ["nnf", "nnb", "dyn", "lpips", "lpips_sw", "loop", "psnr", "ssim"]
+COLS = ["nnf", "nnb", "dyn", "lpips", "lpips_sw", "loop", "psnr", "ssim",
+        "psnr_full", "ssim_full"]   # *_full absent in pre-r5 CSVs -> nan
 
 
 def load(path):
@@ -47,13 +48,16 @@ def main() -> None:
         name, path = spec.split("=", 1)
         rows = load(path)
         trained = [v for v in sorted(rows) if v != opts.holdout]
-        means = {c: float(np.mean([rows[v][c] for v in trained]))
+        means = {c: float(np.mean([rows[v].get(c, float("nan"))
+                                   for v in trained]))
                  for c in COLS}
         means["holdout_psnr"] = rows.get(opts.holdout, {}).get(
             "psnr", float("nan"))
+        means["holdout_psnr_full"] = rows.get(opts.holdout, {}).get(
+            "psnr_full", float("nan"))
         table[name] = means
 
-    cols = COLS + ["holdout_psnr"]
+    cols = COLS + ["holdout_psnr", "holdout_psnr_full"]
     print("| run | " + " | ".join(cols) + " |")
     print("|" + "---|" * (len(cols) + 1))
     for name, m in table.items():

@@ -124,8 +124,10 @@ def evaluate(args, crop=40, compute_flags=None, pred_dir=None):
     nn_fwd = [[0.0] * len(PATCH_SIZES)] * V
     nn_bwd = [[0.0] * len(PATCH_SIZES)] * V
 
+    full_psnr, full_ssim = [float("nan")] * V, [float("nan")] * V
     if flags["static"]:
         static_psnr, static_ssim = [], []
+        full_psnr, full_ssim = [], []
         for vi in range(V):
             gt, pr = videos[vi], preds[vi]
             f = min(len(gt), len(pr))
@@ -135,6 +137,13 @@ def evaluate(args, crop=40, compute_flags=None, pred_dir=None):
                                                     mask))
             static_ssim.append(M.compute_img_metric(gt01, pr01, "ssim",
                                                     mask))
+            # Full-frame (unmasked) PSNR/SSIM as EXTRA trailing columns:
+            # on fully-dynamic scenes the loopable mask covers everything
+            # and the reference's masked static PSNR (its metrics.py
+            # npix correction) degenerates to -inf/NaN on BOTH sides —
+            # these columns keep such scenes comparable.
+            full_psnr.append(M.compute_img_metric(gt01, pr01, "psnr"))
+            full_ssim.append(M.compute_img_metric(gt01, pr01, "ssim"))
     if flags["dyn"]:
         dyns = [M.dynamics_error(videos[vi], preds[vi]) for vi in range(V)]
 
@@ -219,7 +228,8 @@ def evaluate(args, crop=40, compute_flags=None, pred_dir=None):
                     stridet_sizes)]
              + [f"loop_p{p}s{s}pt{pt}st{st}" for p, s, pt, st in
                 zip(patch_sizes, stride_sizes, patcht_sizes,
-                    stridet_sizes)])
+                    stridet_sizes)]
+             + ["psnr_full", "ssim_full"])
     dataname = os.path.basename(datadir)
     out_path = os.path.join(rundir, "eval_metrics.txt")
     with open(out_path, "w") as f:
@@ -232,7 +242,8 @@ def evaluate(args, crop=40, compute_flags=None, pred_dir=None):
                     + ", ".join(map(str, row)) + ", "
                     + ", ".join(map(str, nn_fwd[vi])) + ", "
                     + ", ".join(map(str, nn_bwd[vi])) + ", "
-                    + ", ".join(map(str, loop_q[vi])) + "\n")
+                    + ", ".join(map(str, loop_q[vi])) + ", "
+                    + f"{full_psnr[vi]}, {full_ssim[vi]}\n")
         agg = [mean([mean(r) for r in nn_fwd]),
                mean([mean(r) for r in nn_bwd]),
                mean(dyns), mean(lpips_v), mean(lpips_sw),
@@ -243,9 +254,11 @@ def evaluate(args, crop=40, compute_flags=None, pred_dir=None):
         f.write(f"{dataname}, " + ", ".join(map(str, agg)) + ", "
                 + ", ".join(map(str, per_scale(nn_fwd))) + ", "
                 + ", ".join(map(str, per_scale(nn_bwd))) + ", "
-                + ", ".join(map(str, per_scale(loop_q))) + "\n")
+                + ", ".join(map(str, per_scale(loop_q))) + ", "
+                + f"{mean(full_psnr)}, {mean(full_ssim)}\n")
     print(f"[eval] wrote {out_path}")
     return {"psnr": static_psnr, "ssim": static_ssim, "dyn": dyns,
+            "psnr_full": full_psnr, "ssim_full": full_ssim,
             "lpips": lpips_v, "lpips_sw": lpips_sw, "loopq": loop_q,
             "nnf": nn_fwd, "nnb": nn_bwd, "svfid": svfids,
             "path": out_path}
