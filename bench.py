@@ -197,7 +197,8 @@ def run_stage1_bench(iters):
     print(json.dumps(out))
 
 
-def build_bench_setup(quick=False, fast_grad=False, no_remat=False):
+def build_bench_setup(quick=False, fast_grad=False, no_remat=False,
+                      bf16=True):
     import jax.numpy as jnp
     from videoloop3d_tpu.config import parse_args_with_configs
     from videoloop3d_tpu.models.mpv import MPMeshVid
@@ -279,7 +280,8 @@ def build_bench_setup(quick=False, fast_grad=False, no_remat=False):
     losscfg = {"loss_name": "gpnn_lm", "patch_size": 3, "patcht_size": 3,
                "stride": 2, "stridet": 1, "alpha": 10000, "rou": "-2",
                "scaling": 0.1, "macro_block": 65, "factor": 1,
-               "loss_gain": 1.0, "dist_fn": "mse", "num_proj": 256}
+               "loss_gain": 1.0, "dist_fn": "mse", "num_proj": 256,
+               "nn_bf16": bool(bf16)}
 
     ext = np.eye(4, dtype=np.float32)
     ext[0, 3] = 0.1
@@ -522,7 +524,7 @@ def main():
 
     model, args, params, batch, losscfg, (ph, pw), info = \
         build_bench_setup(opts.quick, fast_grad=opts.fast_grad,
-                          no_remat=opts.no_remat)
+                          no_remat=opts.no_remat, bf16=opts.bf16)
     if opts.bf16:
         model.gather_dtype = jnp.bfloat16
     if opts.compact:

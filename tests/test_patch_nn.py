@@ -324,6 +324,74 @@ def test_flat_extract_and_fold_match_reshape_path():
     assert np.allclose(folded_flat, folded_ref, atol=1e-5)
 
 
+def test_matmul_extract_and_fold_match_conv_path():
+    """The banded-matmul extract/fold (the wide-patch TPU path) must be
+    bit-exact vs the identity-kernel conv formulation, including
+    uneven strides and pt=1 frame patches."""
+    rng = np.random.default_rng(13)
+    for psz, strides, shape in [
+            ((3, 5, 5), (1, 2, 2), (3, 6, 13, 15)),
+            ((3, 11, 11), (1, 4, 4), (3, 8, 23, 27)),
+            ((1, 7, 7), (1, 3, 3), (4, 5, 16, 19)),
+    ]:
+        x = jnp.asarray(rng.random(shape).astype(np.float32))
+        C = shape[0]
+        conv = np.asarray(P.extract_patches_flat(x, psz, strides,
+                                                 via="conv"))
+        mm = np.asarray(P.extract_patches_flat(x, psz, strides,
+                                               via="matmul"))
+        assert mm.shape == conv.shape
+        assert np.allclose(mm, conv, atol=1e-6), (psz, strides)
+
+        pat = jnp.asarray(conv)
+        f_conv = np.asarray(P.fold_patches_flat(pat, C, psz, strides,
+                                                via="conv"))
+        f_mm = np.asarray(P.fold_patches_flat(pat, C, psz, strides,
+                                              via="matmul"))
+        assert np.allclose(f_mm, f_conv, atol=1e-5), (psz, strides)
+
+
+def test_matmul_fold_bf16_accumulates_f32():
+    """bf16 patches must fold through the matmul path with f32
+    accumulation (exact sum of the bf16 values, like the conv path)."""
+    rng = np.random.default_rng(17)
+    psz, strides = (3, 11, 11), (1, 4, 4)
+    x = jnp.asarray(rng.random((3, 6, 23, 23)).astype(np.float32))
+    pat = P.extract_patches_flat(x, psz, strides, via="conv")
+    pb = pat.astype(jnp.bfloat16)
+    f_mm = P.fold_patches_flat(pb, 3, psz, strides, via="matmul")
+    assert f_mm.dtype == jnp.float32
+    f_ref = np.asarray(P.fold_patches_flat(
+        pb.astype(jnp.float32), 3, psz, strides, via="conv"))
+    assert np.allclose(np.asarray(f_mm), f_ref, atol=1e-6)
+
+    # bf16 extraction stays bf16 (selection is exact per element)
+    xb = x.astype(jnp.bfloat16)
+    e_mm = P.extract_patches_flat(xb, psz, strides, via="matmul")
+    assert e_mm.dtype == jnp.bfloat16
+    e_ref = np.asarray(P.extract_patches_flat(
+        xb.astype(jnp.float32), psz, strides, via="conv"))
+    assert np.array_equal(np.asarray(e_mm, np.float32), e_ref)
+
+
+def test_nn_bf16_close_to_f32():
+    """nn_bf16 runs the stop-gradient NN retarget in bf16; the loss and
+    its gradient must stay close to the f32 path (same argmins on
+    well-separated patches, target quantized ~1e-3)."""
+    rng = np.random.default_rng(31)
+    x = jnp.asarray(rng.random((3, 8, 20, 20)).astype(np.float32))
+    y = jnp.asarray(rng.random((3, 8, 20, 20)).astype(np.float32))
+    kw = dict(patch_size=5, patcht_size=3, stride=2, stridet=1,
+              alpha=1e10, rou="mse", macro_block=12)
+    l32, g32 = jax.value_and_grad(
+        lambda a: P.gpnn_lowmem_loss(a, y, **kw))(x)
+    l16, g16 = jax.value_and_grad(
+        lambda a: P.gpnn_lowmem_loss(a, y, nn_bf16=True, **kw))(x)
+    assert np.isfinite(float(l16))
+    assert abs(float(l16) - float(l32)) < 3e-3 * max(float(l32), 1e-6)
+    assert np.allclose(np.asarray(g16), np.asarray(g32), atol=2e-3)
+
+
 def test_fast_nn_dist_matches_direct():
     """--fast_nn_dist (temporally-decomposed NN retarget) must match the
     direct formulation: same NN targets and fold, with and without the

@@ -170,6 +170,14 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["", "on", "off"],
                    help="per-view override of --fast_nn_dist for the "
                         "other-view loss config ('' inherits)")
+    p.add_argument("--nn_bf16", type=str, default="",
+                   choices=["", "on", "off"],
+                   help="run the GPNN NN search + retarget fold in "
+                        "bfloat16 (all under stop_gradient; distances "
+                        "accumulate f32 on the MXU).  '' follows "
+                        "--fp16: bf16 texels already quantize the "
+                        "render, so the bf16 target adds nothing; an "
+                        "all-f32 run stays f32 end to end")
     p.add_argument("--fused_render", action="store_true",
                    help="stage-2 fused decode+composite+regularizers "
                         "with a hand-derived VJP: nothing (S,h,w,F)-"

@@ -109,9 +109,93 @@ def fold_patches_3d(patches, out_shape, strides):
     return jnp.transpose(v, (0, 3, 2, 1))
 
 
-def extract_patches_flat(x, psz, strides):
+# Identity-kernel convs cost dim^2 MACs per output position — fine for
+# small patches, quadratic pain at 11x11 (dim 1089: the round-5 refview
+# profile showed the fold conv_transpose alone at 84 ms/step).  Above
+# this flat-dim threshold the separable banded-matmul path below wins
+# (~dim*(pt+ph+pw) MACs); below it the fused conv is cheaper than the
+# extra transposes.
+_MATMUL_PATCH_DIM = 512
+
+
+def _band_matrix(n, p, s, length):
+    """(n*p, length) 0/1 fold matrix: patch i, in-patch offset d
+    contributes to output position i*s + d.  Its transpose extracts."""
+    M = np.zeros((n * p, length), np.float32)
+    for i in range(n):
+        M[i * p:(i + 1) * p, i * s:i * s + p] += np.eye(p)
+    return M
+
+
+def _bandmm(x, M, out_dtype=None):
+    """x: (..., k) @ M (k, o) -> (..., o), exactly.
+
+    bf16 inputs ride the native MXU pass with f32 accumulation (exact:
+    M is 0/1 so every product is a bf16 value); f32 inputs need HIGHEST
+    or the TPU default truncates them to bf16 mid-flight.  out_dtype
+    overrides the f32 accumulator ONLY where that is exact (extraction:
+    one nonzero per output row, so a bf16 result is the input value).
+    """
+    if x.dtype == jnp.bfloat16:
+        return jax.lax.dot_general(
+            x, jnp.asarray(M, jnp.bfloat16),
+            (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=out_dtype or jnp.float32)
+    return jnp.einsum("...k,ko->...o", x, jnp.asarray(M, x.dtype),
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def extract_patches_matmul(x, psz, strides):
+    """`extract_patches_flat` as three per-axis banded matmuls.
+
+    Each axis unfold is (..., L) @ B^T where B is the 0/1 band matrix —
+    pure MXU selection, ~dim*(pt+p+p) MACs per position instead of the
+    identity conv's dim^2.  Flat channel order (C, dt, dy, dx) matches
+    the conv path bit-for-bit (tests/test_patch_nn.py).  bf16 inputs
+    stay bf16 (selection is exact per element) — the NN search is under
+    stop_gradient, so the fat patch tensors never need f32 bytes.
+    """
+    (pt, ph, pw), (st, sh, sw) = psz, strides
+    C, T, H, W = x.shape
+    dt = x.dtype if x.dtype == jnp.bfloat16 else None
+    nt, nh, nw = n_patches(T, pt, st), n_patches(H, ph, sh), \
+        n_patches(W, pw, sw)
+    y = x.transpose(0, 2, 3, 1)                       # (C, H, W, T)
+    y = _bandmm(y, _band_matrix(nt, pt, st, T).T, dt)  # (C, H, W, nt*pt)
+    y = y.reshape(C, H, W, nt, pt).transpose(3, 0, 4, 2, 1) \
+        .reshape(nt, C, pt, W, H)
+    y = _bandmm(y, _band_matrix(nh, ph, sh, H).T, dt)  # (nt,C,pt,W,nh*ph)
+    y = y.reshape(nt, C, pt, W, nh, ph).transpose(0, 4, 1, 2, 5, 3) \
+        .reshape(nt, nh, C, pt, ph, W)
+    y = _bandmm(y, _band_matrix(nw, pw, sw, W).T, dt)  # (...,nw*pw)
+    y = y.reshape(nt, nh, C, pt, ph, nw, pw).transpose(0, 1, 5, 2, 3, 4, 6)
+    return y.reshape(nt, nh, nw, C * pt * ph * pw)
+
+
+def fold_patches_matmul(patches, n_channels, psz, strides):
+    """`fold_patches_flat` as three per-axis banded matmuls (overlap-add
+    = (..., n*p) @ B per axis)."""
+    (pt, ph, pw), (st, sh, sw) = psz, strides
+    ntx, nh, nw, _ = patches.shape
+    C = n_channels
+    T = (ntx - 1) * st + pt
+    H = (nh - 1) * sh + ph
+    W = (nw - 1) * sw + pw
+    y = patches.reshape(ntx, nh, nw, C, pt, ph, pw) \
+        .transpose(0, 1, 3, 4, 5, 2, 6).reshape(ntx, nh, C, pt, ph,
+                                                nw * pw)
+    y = _bandmm(y, _band_matrix(nw, pw, sw, W))       # (ntx,nh,C,pt,ph,W)
+    y = y.transpose(0, 2, 3, 5, 1, 4).reshape(ntx, C, pt, W, nh * ph)
+    y = _bandmm(y, _band_matrix(nh, ph, sh, H))       # (ntx,C,pt,W,H)
+    y = y.transpose(1, 3, 4, 0, 2).reshape(C, W, H, ntx * pt)
+    y = _bandmm(y, _band_matrix(ntx, pt, st, T))      # (C,W,H,T)
+    return y.transpose(0, 3, 2, 1)
+
+
+def extract_patches_flat(x, psz, strides, via="auto"):
     """x: (C, T, H, W) -> (n_t, n_h, n_w, C*pt*p*p) via XLA's patch
-    extraction (lowered to an identity-kernel conv).
+    extraction (lowered to an identity-kernel conv), or per-axis banded
+    matmuls when the flat patch dim is large (see _MATMUL_PATCH_DIM).
 
     TPU note: the reshape-based `extract_patches_3d` materializes 7/8-D
     tensors whose tiny minor dims (the patch extents) pick up (8,128)
@@ -120,6 +204,10 @@ def extract_patches_flat(x, psz, strides):
     dense, and the heavy lifting runs on the MXU.
     """
     (pt, ph, pw), (st, sh, sw) = psz, strides
+    dim = x.shape[0] * pt * ph * pw
+    if via == "matmul" or (via == "auto" and dim >= _MATMUL_PATCH_DIM
+                           and jax.default_backend() != "cpu"):
+        return extract_patches_matmul(x, psz, strides)
     out = jax.lax.conv_general_dilated_patches(
         x[None], filter_shape=(pt, ph, pw),
         window_strides=(st, sh, sw), padding="VALID",
@@ -128,16 +216,20 @@ def extract_patches_flat(x, psz, strides):
     return jnp.transpose(out[0], (1, 2, 3, 0))
 
 
-def fold_patches_flat(patches, n_channels, psz, strides):
+def fold_patches_flat(patches, n_channels, psz, strides, via="auto"):
     """Inverse overlap-add of `extract_patches_flat` via an
     identity-kernel transposed conv (an MXU matmul per output window —
-    the TPU-friendly formulation of N-D fold).
+    the TPU-friendly formulation of N-D fold), or per-axis banded
+    matmuls when the flat patch dim is large.
 
     patches: (n_t, n_h, n_w, C*pt*p*p) -> (C, T, H, W).
     """
     (pt, ph, pw), (st, sh, sw) = psz, strides
     C = n_channels
     dim = C * pt * ph * pw
+    if via == "matmul" or (via == "auto" and dim >= _MATMUL_PATCH_DIM
+                           and jax.default_backend() != "cpu"):
+        return fold_patches_matmul(patches, C, psz, strides)
     # kernel (pt, ph, pw, dim, C): scatter flat channel (c, dt, dy, dx)
     # back to channel c at offset (dt, dy, dx); conv_transpose applies
     # the kernel spatially mirrored, hence the (p-1-d) index flip
@@ -150,9 +242,10 @@ def fold_patches_flat(patches, n_channels, psz, strides):
                             + (ph - 1 - dy)) * pw + (pw - 1 - dx)
                     kern[dt, dy, dx, flat, c] = 1.0
     out = jax.lax.conv_transpose(
-        patches[None], jnp.asarray(kern), strides=(st, sh, sw),
-        padding="VALID",
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        patches[None], jnp.asarray(kern, patches.dtype),
+        strides=(st, sh, sw), padding="VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32)
     return jnp.transpose(out[0], (3, 0, 1, 2))
 
 
@@ -179,11 +272,20 @@ def fold_weight(out_shape, psz, strides):
 # ---------------------------------------------------------------------------
 
 def _pairwise_sqdist(X, Y):
-    """X: (B, n, d); Y: (B, m, d) -> (B, n, m), normalized by d."""
+    """X: (B, n, d); Y: (B, m, d) -> (B, n, m) f32, normalized by d.
+
+    bf16 inputs are exact: bf16 x bf16 products are representable in
+    the f32 accumulator (the native MXU mode), so the distances equal
+    the f32-upcast computation bit-for-bit up to reduction order.
+    """
     hi = jax.lax.Precision.HIGHEST
-    xx = jnp.sum(X * X, axis=-1)[..., :, None]
-    yy = jnp.sum(Y * Y, axis=-1)[..., None, :]
-    xy = jnp.einsum("bnd,bmd->bnm", X, Y, precision=hi)
+    f32 = jnp.float32
+    xx = jnp.einsum("bnd,bnd->bn", X, X, precision=hi,
+                    preferred_element_type=f32)[..., :, None]
+    yy = jnp.einsum("bmd,bmd->bm", Y, Y, precision=hi,
+                    preferred_element_type=f32)[..., None, :]
+    xy = jnp.einsum("bnd,bmd->bnm", X, Y, precision=hi,
+                    preferred_element_type=f32)
     return (xx + yy - 2.0 * xy) / X.shape[-1]
 
 
@@ -420,7 +522,7 @@ def gpnn_lowmem_retarget(x, y, patch_size=7, patcht_size=7, stride=2,
                                dist_fn, fast_nn_dist),
         (x_crops, y_crops), batch_size=chunk)       # (Nc, C, fit_tx, mb, mb)
 
-    y2x = jnp.zeros((C, fit_tx, fit_h, fit_w), x.dtype)
+    y2x = jnp.zeros((C, fit_tx, fit_h, fit_w), y2x_crops.dtype)
     ci = 0
     for h0 in hs:
         for w0 in ws:
@@ -442,16 +544,28 @@ def _norm_alpha(alpha):
     return alpha
 
 
+def _nn_cast(xs, ys, nn_bf16):
+    """Cast the stop-gradient NN inputs to bf16 when requested — the
+    search, selection, and fold never carry gradients, so the fat patch
+    tensors can live in half the bytes (distances still accumulate f32
+    on the MXU; the folded target is f32)."""
+    if nn_bf16:
+        return xs.astype(jnp.bfloat16), ys.astype(jnp.bfloat16)
+    return xs, ys
+
+
 def gpnn_lowmem_loss(x, y, *, patch_size=7, patcht_size=7, stride=2,
                      stridet=2, alpha=1e10, rou=0, scaling=0.2,
                      macro_block=64, dist_fn="mse", fast_nn_dist=False,
-                     **_):
+                     nn_bf16=False, **_):
     """'gpnn_lm': the default stage-2 looping loss.  x: (C, Tx, H, W)
     render (grad flows); y: (C, Ty, H, W) GT video.  The NN/fold target is
     computed under stop_gradient — gradients only flow through
     robust(x - y2x) (ref utils_vid.py:322-348 runs NN under no_grad)."""
+    xs, ys = _nn_cast(jax.lax.stop_gradient(x), jax.lax.stop_gradient(y),
+                      nn_bf16)
     y2x, (ft, fh, fw) = gpnn_lowmem_retarget(
-        jax.lax.stop_gradient(x), jax.lax.stop_gradient(y),
+        xs, ys,
         patch_size=patch_size, patcht_size=patcht_size, stride=stride,
         stridet=stridet, alpha=_norm_alpha(alpha), macro_block=macro_block,
         dist_fn=dist_fn, fast_nn_dist=fast_nn_dist)
@@ -461,7 +575,8 @@ def gpnn_lowmem_loss(x, y, *, patch_size=7, patcht_size=7, stride=2,
 
 def gpnn_direct_loss(x, y, *, patch_size=7, patcht_size=7, stride=1,
                      stridet=1, alpha=1e10, rou=0, scaling=0.2,
-                     dist_fn="mse", fast_nn_dist=False, **_):
+                     dist_fn="mse", fast_nn_dist=False, nn_bf16=False,
+                     **_):
     """'gpnn': whole-patch NN without macro blocks
     (ref utils_vid.py:265-287)."""
     psz = (patcht_size, patch_size, patch_size)
@@ -472,6 +587,7 @@ def gpnn_direct_loss(x, y, *, patch_size=7, patcht_size=7, stride=1,
     fty = fit_patch_size(y.shape[1], patcht_size, stridet)
     xs = jax.lax.stop_gradient(x)[:, :ft, :fh, :fw]
     ys = jax.lax.stop_gradient(y)[:, :fty, :fh, :fw]
+    xs, ys = _nn_cast(xs, ys, nn_bf16)
     y2x = nn_retarget(xs, ys, psz, strides, _norm_alpha(alpha), dist_fn,
                       fast_nn_dist)
     weight = jnp.asarray(
@@ -514,7 +630,7 @@ def _down_plan(Tx, Ty, H, W, psz, strides, macro, f):
 def gpnn_downsample_loss(x, y, *, patch_size=7, patcht_size=7, stride=2,
                          stridet=2, alpha=1e10, rou=0, scaling=0.2,
                          macro_block=64, factor=1, dist_fn="mse",
-                         fast_nn_dist=False, **_):
+                         fast_nn_dist=False, nn_bf16=False, **_):
     """'gpnn_down': NN indices found on a bilinearly-downsampled video,
     ``repeat_interleave``-upsampled to the full-res patch grid, then used
     to gather SAME-SIZE full-res patches which are folded back (ref
@@ -539,7 +655,7 @@ def gpnn_downsample_loss(x, y, *, patch_size=7, patcht_size=7, stride=2,
             x, y, patch_size=patch_size, patcht_size=patcht_size,
             stride=stride, stridet=stridet, alpha=alpha, rou=rou,
             scaling=scaling, macro_block=macro_block, dist_fn=dist_fn,
-            fast_nn_dist=fast_nn_dist)
+            fast_nn_dist=fast_nn_dist, nn_bf16=nn_bf16)
     f = int(factor)
     p, pt, s, st = patch_size, patcht_size, stride, stridet
     psz = (pt, p, p)
@@ -552,6 +668,7 @@ def gpnn_downsample_loss(x, y, *, patch_size=7, patcht_size=7, stride=2,
 
     xs = jax.lax.stop_gradient(x)[:, :ftx, :fh, :fw]
     ys = jax.lax.stop_gradient(y)[:, :fty, :fh, :fw]
+    xs, ys = _nn_cast(xs, ys, nn_bf16)
     x_down = jax.image.resize(xs, (C, ftx, fhd, fwd), "linear")
     y_down = jax.image.resize(ys, (C, fty, fhd, fwd), "linear")
 

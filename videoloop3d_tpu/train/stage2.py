@@ -59,6 +59,14 @@ def loss_config_from_args(args, ref=False):
                   "")
     if ovr:
         cfg["fast_nn_dist"] = (ovr == "on")
+    # bf16 NN search/target (the fat patch tensors live under
+    # stop_gradient): defaults to following --fp16 — bf16 texels mean
+    # the render is already bf16-valued, so quantizing the NN target
+    # adds nothing below the representable resolution; the all-f32
+    # escape hatch (no --fp16) stays f32 end to end.
+    nn_ovr = getattr(args, "nn_bf16", "")
+    cfg["nn_bf16"] = ((nn_ovr == "on") if nn_ovr
+                      else bool(getattr(args, "fp16", False)))
     return cfg
 
 
