@@ -135,6 +135,10 @@ def run_stage1_bench(iters):
     # ON by default like the shipped config, VL3D_STAGE1_FUSED=0 to A/B
     if os.environ.get("VL3D_STAGE1_FUSED", "1") != "0":
         argv.append("--fused_render")
+    # bf16-input block contractions + wide forward blocks (56 -> 40 ms
+    # measured); ON like the shipped config, VL3D_S1_FAST_GEMM=0 to A/B
+    if os.environ.get("VL3D_S1_FAST_GEMM", "1") != "0":
+        argv += ["--s1_gemm_bf16", "--s1_fwd_block", "45x64"]
     args = parse_args_with_configs(argv)
     ref_extrin = np.eye(4, dtype=np.float32)
     focal = 0.9 * W

@@ -454,3 +454,57 @@ def test_fast_stage1_sparse_grad_render_equivalence():
     for key in ("atlas", "atlas_dyn"):
         assert np.array_equal(np.asarray(gc[key]), np.asarray(gd[key])), \
             key
+
+
+def test_blockadj_prec_and_fwd_block_plumbing():
+    """--s1_gemm_bf16 / --s1_fwd_block plumbing: prec="default" and a
+    non-default forward block plan produce the same values/grads on CPU
+    (where DEFAULT precision is still f32 — this pins the wiring, the
+    bf16 effect itself is a TPU-only quality question benched on-chip)."""
+    geom, atlas, ext, intrin, rng, (h, w) = _setup(seed=11)
+    coords = R.warp_coordinates(geom, ext, intrin, h, w)
+    M = A.forward_projection(geom.depths_np(), geom.ref_intrin_mpi_np(),
+                             ext, intrin)
+    ct = jnp.asarray(rng.random((1, 3, h, w, 4), dtype=np.float32))
+    base_hw, base_tb = A.block_plan_for(geom, h, w, (h, w))
+    big_hw, big_tb = A.block_plan_for(geom, h, w, (h, w),
+                                      block_hw=(h, w))
+
+    def loss(a, bhw, tbw, prec):
+        return jnp.sum(A.sample_dense_blockadj(
+            a, coords.x, coords.y, M, bhw, tbw, None, prec) * ct)
+
+    ref_v = float(loss(atlas, base_hw, base_tb, "highest"))
+    ref_g = np.asarray(jax.grad(loss)(atlas, base_hw, base_tb, "highest"))
+    for bhw, tbw in ((base_hw, base_tb), (big_hw, big_tb)):
+        v = float(loss(atlas, bhw, tbw, "default"))
+        g = np.asarray(jax.grad(loss)(atlas, bhw, tbw, "default"))
+        assert np.isclose(ref_v, v, rtol=1e-5)
+        assert np.abs(ref_g - g).max() < 1e-4
+
+
+def test_model_level_s1_fast_gemm_flags():
+    """MPMesh with --s1_gemm_bf16 --s1_fwd_block renders identically on
+    CPU and its config plumbs to the adjoint call."""
+    from videoloop3d_tpu.config import parse_args_with_configs
+    from videoloop3d_tpu.models.mpmesh import MPMesh
+
+    H, W = 48, 64
+    base = ["--mpi_h_scale", "1.2", "--mpi_w_scale", "1.2",
+            "--mpi_h_verts", "5", "--mpi_w_verts", "7",
+            "--mpi_d", "4", "--atlas_grid_h", "2",
+            "--fast_stage1_grad", "--scale_invariant"]
+    fast = base + ["--s1_gemm_bf16", "--s1_fwd_block", "24x32"]
+    ref_intrin = np.array([[0.9 * W, 0, W / 2], [0, 0.9 * W, H / 2],
+                           [0, 0, 1]], np.float32)
+    ext = jnp.asarray(np.eye(4, dtype=np.float32)[None])
+    intr = jnp.asarray(ref_intrin[None])
+    outs = []
+    for argv in (base, fast):
+        args = parse_args_with_configs(argv)
+        model = MPMesh(args, H, W, np.eye(4, dtype=np.float32),
+                       ref_intrin, 2.0, 10.0)
+        params = model.init_params(1)
+        rgbl, _ = model.render(params, H, W, ext, intr, training=True)
+        outs.append(np.asarray(rgbl))
+    assert np.abs(outs[0] - outs[1]).max() < 1e-5

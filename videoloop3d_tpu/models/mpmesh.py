@@ -117,6 +117,8 @@ class MPMeshConfig:
     fast_stage1_grad: bool = False
     fast_stage2_grad: bool = False
     fused_render: bool = False
+    s1_gemm_prec: str = "highest"      # --s1_gemm_bf16 -> "default"
+    s1_fwd_block: tuple = (16, 32)     # --s1_fwd_block
     bg_color: str = ""
     normalize_verts: bool = False
     edge_scale: float = 4.0
@@ -146,6 +148,12 @@ class MPMeshConfig:
             fast_stage2_grad=bool(getattr(args, "fast_stage2_grad",
                                           False)),
             fused_render=bool(getattr(args, "fused_render", False)),
+            s1_gemm_prec=("default"
+                          if getattr(args, "s1_gemm_bf16", False)
+                          else "highest"),
+            s1_fwd_block=tuple(
+                int(v) for v in
+                getattr(args, "s1_fwd_block", "16x32").split("x")),
             bg_color=args.bg_color,
             normalize_verts=bool(getattr(args, "normalize_verts", False)),
             edge_scale=float(args.edge_scale),
@@ -405,8 +413,9 @@ class MPMesh:
             M = ADJ.forward_projection(
                 self.geom.depths_np(), self.geom.ref_intrin_mpi_np(),
                 extrins, intrins)
-            block_hw, tb_hw = ADJ.block_plan_for(self.geom, h, w,
-                                                 (self.H, self.W))
+            block_hw, tb_hw = ADJ.block_plan_for(
+                self.geom, h, w, (self.H, self.W),
+                block_hw=cfg.s1_fwd_block)
             grad_plan = ADJ.bwd_block_plan_for(self.geom, h, w,
                                                (self.H, self.W))
             src = params["atlas"]
@@ -414,7 +423,7 @@ class MPMesh:
                 src = jnp.concatenate([src, params["atlas_mask"]], -1)
             feats = ADJ.sample_dense_blockadj(
                 src, sample_coords.x, sample_coords.y, M,
-                block_hw, tb_hw, grad_plan)
+                block_hw, tb_hw, grad_plan, cfg.s1_gemm_prec)
             if need_mask:
                 feats, mask_feats = feats[..., :-1], feats[..., -1:]
         elif not self.is_sparse:

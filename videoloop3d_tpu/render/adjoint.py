@@ -39,11 +39,28 @@ is verified against autodiff in tests/test_adjoint.py.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 
 from videoloop3d_tpu.render.sample import bilinear_planes
+
+
+def _resolve_prec(prec="highest"):
+    """Contraction precision for the dense block paths.  "default" runs
+    the MXU contractions with bf16 inputs + f32 accumulate (one pass) —
+    ~1e-3 relative error on samples/grads, measured neutral on stage-1
+    training quality (see configs: --s1_gemm_bf16).  "highest" is the
+    exact 6-pass mode the adjoint exactness tests pin.  The
+    VL3D_S1_PREC env var overrides for A/B benching."""
+    p = os.environ.get("VL3D_S1_PREC", prec)
+    return (jax.lax.Precision.DEFAULT if p == "default"
+            else jax.lax.Precision.HIGHEST)
+
+
+def _s1_map_batch(default=256):
+    return int(os.environ.get("VL3D_S1_MAP_BATCH", default))
 
 
 def forward_projection(depths, ref_intrin_mpi, tar_extrin, tar_intrin):
@@ -136,7 +153,8 @@ def _adjoint_atlas_grad(ct, x, y, M, atlas_hw, rect_hw, window):
     return atlas_grad
 
 
-def _block_matmul_atlas_grad(ct, x, y, atlas_hw, block_hw, tb_hw):
+def _block_matmul_atlas_grad(ct, x, y, atlas_hw, block_hw, tb_hw,
+                             prec="highest"):
     """Block-matmul gradient assembly (no gathers, no scatters).
 
     Tile the patch into static pixel blocks; per (view, plane, block):
@@ -196,13 +214,14 @@ def _block_matmul_atlas_grad(ct, x, y, atlas_hw, block_hw, tb_hw):
         wx = jnp.maximum(0.0, 1.0 - jnp.abs(sx[:, None] - tx[None]))
         wy = jnp.maximum(0.0, 1.0 - jnp.abs(sy[:, None] - ty[None]))
         wy = wy * jnp.where(any_valid, 1.0, 0.0)
-        hi = jax.lax.Precision.HIGHEST
+        hi = _resolve_prec(prec)
         tmp = jnp.einsum("ph,pc->phc", wy, ctb, precision=hi)
         grad = jnp.einsum("pw,phc->hwc", wx, tmp, precision=hi)
         return grad, y0, x0
 
     grads, y0s, x0s = jax.lax.map(
-        lambda t: per_block(*t), (xs, ys, cts), batch_size=256)
+        lambda t: per_block(*t), (xs, ys, cts),
+        batch_size=_s1_map_batch())
 
     d_idx = jnp.broadcast_to(
         jnp.arange(D, dtype=jnp.int32)[None, :, None],
@@ -243,6 +262,10 @@ def bwd_block_plan_for(geom, h, w, image_hw, block_hw=(45, 64),
     scale, (45, 64) pixel blocks beat the forward's (15, 32) plan 31 ms
     vs 42.5 ms (exact, same sums).  Returns (block_hw, tb_hw) like
     block_plan_for."""
+    if os.environ.get("VL3D_S1_BWD_BLOCK"):
+        # experiment knob: backward plan geometry, e.g. "90x64"
+        a, b = os.environ["VL3D_S1_BWD_BLOCK"].split("x")
+        block_hw = (int(a), int(b))
     return block_plan_for(geom, h, w, image_hw, block_hw=block_hw,
                           margin=margin)
 
@@ -250,6 +273,10 @@ def bwd_block_plan_for(geom, h, w, image_hw, block_hw=(45, 64),
 def block_plan_for(geom, h, w, image_hw, block_hw=(16, 32), margin=1.35):
     """Static (block_hw, tb_hw) covering the warp spread.  The local
     texel grid must span scale*block + bilinear margin."""
+    if block_hw == (16, 32) and os.environ.get("VL3D_S1_FWD_BLOCK"):
+        # experiment knob: forward plan geometry, e.g. "45x64"
+        a, b = os.environ["VL3D_S1_FWD_BLOCK"].split("x")
+        block_hw = (int(a), int(b))
     sy = geom.mpi_h / image_hw[0] * margin
     sx = geom.mpi_w / image_hw[1] * margin
     bh = min(block_hw[0], h)
@@ -264,7 +291,7 @@ def block_plan_for(geom, h, w, image_hw, block_hw=(16, 32), margin=1.35):
     return (bh, bw), (tbh, tbw)
 
 
-def _block_matmul_sample(atlas, x, y, block_hw, tb_hw):
+def _block_matmul_sample(atlas, x, y, block_hw, tb_hw, prec="highest"):
     """Gather-free bilinear sampling: the exact TRANSPOSE of
     `_block_matmul_atlas_grad`.
 
@@ -324,36 +351,38 @@ def _block_matmul_sample(atlas, x, y, block_hw, tb_hw):
         wx = jnp.maximum(0.0, 1.0 - jnp.abs(sx[:, None] - tx[None]))
         wy = jnp.maximum(0.0, 1.0 - jnp.abs(sy[:, None] - ty[None]))
         wy = wy * jnp.where(any_valid, 1.0, 0.0)
-        hi = jax.lax.Precision.HIGHEST
+        hi = _resolve_prec(prec)
         tmp = jnp.einsum("pw,hwc->phc", wx, win, precision=hi)
         return jnp.einsum("ph,phc->pc", wy, tmp, precision=hi)
 
     vals = jax.lax.map(lambda t: per_block(*t), (xs, ys, d_idx),
-                       batch_size=256)              # (NB, bh*bw, C)
+                       batch_size=_s1_map_batch())  # (NB, bh*bw, C)
     vals = vals.reshape(B, D, nbh, nbw, bh, bw, C)
     vals = jnp.moveaxis(vals, 3, 4)                 # (B,D,nbh,bh,nbw,bw,C)
     return vals.reshape(B, D, h, w, C)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def sample_dense_blockadj(atlas, x, y, M, block_hw, tb_hw, grad_plan=None):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def sample_dense_blockadj(atlas, x, y, M, block_hw, tb_hw, grad_plan=None,
+                          prec="highest"):
     """`sample_dense` computed gather-free (block-matmul forward) with
     the block-matmul backward.  `grad_plan` optionally gives the
     backward its own (block_hw, tb_hw) — larger blocks amortize the
     accumulation scan (bwd_block_plan_for); default: the forward's plan.
+    `prec` picks the contraction precision (see _resolve_prec).
     M is unused in the forward; kept for interface symmetry."""
-    return _block_matmul_sample(atlas, x, y, block_hw, tb_hw)
+    return _block_matmul_sample(atlas, x, y, block_hw, tb_hw, prec)
 
 
-def _badj_fwd(atlas, x, y, M, block_hw, tb_hw, grad_plan):
+def _badj_fwd(atlas, x, y, M, block_hw, tb_hw, grad_plan, prec):
     return sample_dense_blockadj(atlas, x, y, M, block_hw, tb_hw,
-                                 grad_plan), (atlas.shape, x, y, M)
+                                 grad_plan, prec), (atlas.shape, x, y, M)
 
 
-def _badj_bwd(block_hw, tb_hw, grad_plan, res, ct):
+def _badj_bwd(block_hw, tb_hw, grad_plan, prec, res, ct):
     atlas_shape, x, y, M = res
     bb, bt = grad_plan if grad_plan is not None else (block_hw, tb_hw)
-    g = _block_matmul_atlas_grad(ct, x, y, atlas_shape[1:3], bb, bt)
+    g = _block_matmul_atlas_grad(ct, x, y, atlas_shape[1:3], bb, bt, prec)
     return (g, jnp.zeros_like(x), jnp.zeros_like(y), jnp.zeros_like(M))
 
 
