@@ -128,8 +128,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "gradient: bypasses the slow XLA scatter with "
                         "an exact gather-free formulation (2.7x step "
                         "speedup on v5e; see render/adjoint.py)")
-    p.add_argument("--s1_gemm_bf16", action=argparse.BooleanOptionalAction,
-                   default=False,
+    p.add_argument("--s1_gemm_bf16", action="store_true",
                    help="run the stage-1 dense block sampler/adjoint "
                         "MXU contractions with bf16 inputs + f32 "
                         "accumulate (1 pass instead of 6; ~1e-3 rel "
