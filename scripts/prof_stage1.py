@@ -46,6 +46,8 @@ def main():
             "--lrate", "0.05"]
     if not opts.no_fused:
         argv.append("--fused_render")
+    if os.environ.get("VL3D_S1_FAST_GEMM", "1") != "0":
+        argv += ["--s1_gemm_bf16", "--s1_fwd_block", "45x64"]
     args = parse_args_with_configs(argv)
     ref_extrin = np.eye(4, dtype=np.float32)
     focal = 0.9 * W
